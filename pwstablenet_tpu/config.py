@@ -1,0 +1,141 @@
+"""Typed configuration for the whole framework.
+
+Every hyperparameter of the reference (argparse flags in its train/test
+scripts — SURVEY.md C20) becomes a named, typed field here so the
+configuration surface is explicit and testable.  Defaults follow the
+PWStableNet paper (arXiv:1905.08959) and pix2pix conventions where the
+reference is not readable (SURVEY.md section 0 provenance caveat).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Cascaded generator + PatchGAN discriminator architecture.
+
+    The generator consumes a temporal stack of ``temporal_window`` RGB
+    frames (channels-concatenated, SURVEY.md C3) and emits one 2-channel
+    per-pixel displacement field per cascade stage (SURVEY.md C6/C7).
+    """
+
+    # --- temporal context ---
+    temporal_window: int = 7          # frames per stack (center + neighbors)
+    in_channels: int = 3              # per-frame channels (RGB)
+
+    # --- stage UNet (pix2pix-style, SURVEY.md C5) ---
+    num_levels: int = 8               # stride-2 down/up levels; 256x256 -> 1x1
+    base_features: int = 64
+    max_features: int = 512
+    norm: str = "instance"            # batch | instance | group | none
+    leaky_slope: float = 0.2
+    dropout_rate: float = 0.5         # on the 3 innermost decoder levels
+    use_dropout: bool = False
+
+    # --- cascade (SURVEY.md C6) ---
+    num_stages: int = 2
+    interstage: str = "both"          # features | warped | both
+
+    # --- warp-map head (SURVEY.md C7) ---
+    # Output is a *displacement* field in normalized grid units
+    # ([-1, 1] spans the frame; see ops/warp.py).  The final conv is
+    # zero-initialized so training starts from the identity warp.
+    flow_scale: float = 1.0
+    # Model always runs at this fixed resolution; warp fields are
+    # bilinearly upsampled to the frame resolution before application
+    # (keeps the conv ladder statically shaped and MXU-friendly).
+    model_resolution: Tuple[int, int] = (256, 256)  # (H, W)
+
+    # --- grid-sample semantics (locked by torch parity tests) ---
+    align_corners: bool = True
+    padding_mode: str = "border"      # zeros | border | reflection
+
+    # --- PatchGAN discriminator (SURVEY.md C9) ---
+    disc_base_features: int = 64
+    disc_num_layers: int = 3          # 70x70 receptive field
+    disc_norm: str = "instance"
+
+    # --- perceptual feature extractor (SURVEY.md C12) ---
+    feat_channels: Tuple[int, ...] = (32, 64, 128)
+
+    # --- numerics ---
+    compute_dtype: str = "bfloat16"   # activations inside the network
+    param_dtype: str = "float32"
+
+    @property
+    def stack_channels(self) -> int:
+        return self.temporal_window * self.in_channels
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Adversarial training (SURVEY.md C10-C17)."""
+
+    batch_size: int = 8               # global (sharded over the mesh)
+    num_epochs: int = 40
+    steps_per_epoch: int = 1000
+
+    # Adam, pix2pix-style (SURVEY.md C16)
+    lr_g: float = 2e-4
+    lr_d: float = 2e-4
+    adam_b1: float = 0.5
+    adam_b2: float = 0.999
+    # linear decay to 0 over the second half of training
+    lr_decay_start_frac: float = 0.5
+
+    # loss weights (SURVEY.md C10-C15); adversarial weight is 1.
+    w_pixel: float = 100.0
+    w_feature: float = 10.0
+    w_temporal: float = 10.0
+    w_warp_reg: float = 1.0
+    # per-stage supervision weights, later stages higher (SURVEY.md C15)
+    stage_weights: Tuple[float, ...] = (0.5, 1.0)
+
+    gan_loss: str = "lsgan"           # lsgan | vanilla
+
+    seed: int = 0
+    log_every: int = 50
+    checkpoint_every: int = 1000
+    checkpoint_dir: str = "checkpoints"
+    keep_checkpoints: int = 3
+    debug_nans: bool = False
+    # debug flag: raise at this step to exercise resume (SURVEY.md section 5.3)
+    fault_inject_step: int = -1
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """DeepStab pairing + host-side pipeline (SURVEY.md C1-C4)."""
+
+    data_root: str = "DeepStab"
+    stable_dir: str = "stable"
+    unstable_dir: str = "unstable"
+    crop_size: Tuple[int, int] = (256, 256)
+    random_flip: bool = True
+    frame_stride: int = 1             # stride between temporal neighbors
+    prefetch_depth: int = 2           # double-buffered device batches
+    num_decode_threads: int = 2
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh for data-parallel training and clip-sharded inference
+    (SURVEY.md section 2.3)."""
+
+    data_axis: str = "data"
+    num_devices: int = -1             # -1 = all local devices
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """Video-in / video-out inference (SURVEY.md C19)."""
+
+    batch_windows: int = 8            # temporal windows per device step
+    border_crop_frac: float = 0.0     # optional stabilize-crop (0 = off)
+    emit_warp_fields: bool = True
+    output_codec: str = "mp4v"
+    prefetch_depth: int = 2

@@ -1,0 +1,105 @@
+"""Warp-field construction and application (SURVEY.md C7/C8, section 3.4).
+
+Conventions
+-----------
+The generator's warp head emits a *displacement field* ("flow")
+``(B, H, W, 2)`` in normalized grid units: the sampling grid is
+``identity_grid + flow`` where the identity grid spans ``[-1, 1]`` in
+both axes (``flow[..., 0]`` displaces x, ``flow[..., 1]`` displaces y).
+A zero flow is the identity warp, which is why the head's final conv is
+zero-initialized.
+
+Because the generator runs at a fixed model resolution while frames can
+be 480p/720p/1080p, flows are bilinearly resized to the frame resolution
+before application — normalized units make the field
+resolution-independent.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from pwstablenet_tpu.ops.grid_sample import grid_sample
+
+Array = jax.Array
+
+
+def identity_grid(
+    height: int, width: int, dtype: jnp.dtype = jnp.float32
+) -> Array:
+    """Normalized identity sampling grid ``(H, W, 2)``, last axis (x, y).
+
+    Uses the ``align_corners=True`` convention: -1 and +1 are the centers
+    of the edge pixels (matches the reference's torch ``affine_grid``
+    usage with align_corners=True; locked by parity tests)."""
+    ys = jnp.linspace(-1.0, 1.0, height, dtype=dtype)
+    xs = jnp.linspace(-1.0, 1.0, width, dtype=dtype)
+    grid_y, grid_x = jnp.meshgrid(ys, xs, indexing="ij")
+    return jnp.stack([grid_x, grid_y], axis=-1)
+
+
+def flow_to_grid(flow: Array) -> Array:
+    """Displacement field ``(B, H, W, 2)`` -> absolute sampling grid."""
+    _, h, w, _ = flow.shape
+    return identity_grid(h, w, dtype=flow.dtype)[None] + flow
+
+
+def resize_flow(flow: Array, height: int, width: int) -> Array:
+    """Bilinearly resize a normalized flow field to (height, width).
+
+    Normalized units mean no magnitude rescaling is needed — only
+    spatial interpolation."""
+    b, _, _, c = flow.shape
+    return jax.image.resize(
+        flow, (b, height, width, c), method="bilinear", antialias=False
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("padding_mode", "align_corners", "use_pallas"),
+)
+def warp_image(
+    image: Array,
+    flow: Array,
+    padding_mode: str = "border",
+    align_corners: bool = True,
+    use_pallas: bool = True,
+) -> Array:
+    """Warp ``image (B, H, W, C)`` by displacement ``flow (B, h, w, 2)``.
+
+    The flow is resized to the image resolution if needed, converted to
+    an absolute grid, and applied with the fused Pallas gather-interpolate
+    kernel on TPU (XLA gather fallback elsewhere / under autodiff)."""
+    b, h, w, _ = image.shape
+    if flow.shape[1:3] != (h, w):
+        flow = resize_flow(flow, h, w)
+    grid = flow_to_grid(flow.astype(jnp.float32))
+    if use_pallas and _pallas_available():
+        from pwstablenet_tpu.kernels.grid_sample_pallas import (
+            grid_sample_pallas,
+            pallas_supported,
+        )
+
+        if pallas_supported(image.shape, image.dtype):
+            return grid_sample_pallas(
+                image,
+                grid,
+                padding_mode=padding_mode,
+                align_corners=align_corners,
+            )
+    return grid_sample(
+        image,
+        grid,
+        mode="bilinear",
+        padding_mode=padding_mode,
+        align_corners=align_corners,
+    )
+
+
+@functools.cache
+def _pallas_available() -> bool:
+    return jax.default_backend() == "tpu"
