@@ -1,0 +1,111 @@
+"""Conv building blocks for the generator / discriminator (SURVEY.md C5).
+
+Pix2Pix-style stride-2 encoder and transpose-conv decoder blocks, NHWC,
+lowered through XLA's `conv_general_dilated` onto the MXU.  Activations
+run in a configurable compute dtype (bfloat16 by default) with float32
+parameters; normalization statistics are always computed in float32.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = jnp.dtype
+
+
+class InstanceNorm(nn.Module):
+    """Per-sample, per-channel spatial normalization.
+
+    Hand-written instead of ``nn.GroupNorm(group_size=1)``: that lowers
+    to one reduction per channel and measured ~40x slower end-to-end on
+    v5e (930ms vs 24ms for the full cascade).  This is a single fused
+    mean/variance over the spatial axes in float32.
+    """
+
+    dtype: Dtype = jnp.bfloat16
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=(1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), axis=(1, 2), keepdims=True)
+        y = (xf - mu) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(self.dtype)
+
+
+def make_norm(kind: str, dtype: Dtype, name: Optional[str] = None):
+    """Normalization factory: batch | instance | group | none.
+
+    Instance norm is the default for the GAN (per-sample statistics, no
+    cross-device sync needed in the data-parallel train step)."""
+    if kind == "none":
+        return lambda x: x
+    if kind == "instance":
+        return InstanceNorm(dtype=dtype, name=name)
+    if kind == "group":
+        return nn.GroupNorm(num_groups=8, dtype=dtype, name=name)
+    if kind == "batch":
+        return nn.BatchNorm(
+            use_running_average=False, dtype=dtype, name=name
+        )
+    raise ValueError(f"unknown norm kind {kind!r}")
+
+
+class DownBlock(nn.Module):
+    """Stride-2 4x4 conv -> norm -> LeakyReLU."""
+
+    features: int
+    norm: str = "instance"
+    leaky_slope: float = 0.2
+    use_norm: bool = True
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.features,
+            kernel_size=(4, 4),
+            strides=(2, 2),
+            padding=((1, 1), (1, 1)),
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        if self.use_norm:
+            x = make_norm(self.norm, self.dtype, name="norm")(x)
+        return nn.leaky_relu(x, negative_slope=self.leaky_slope)
+
+
+class UpBlock(nn.Module):
+    """Stride-2 4x4 transpose conv -> norm -> ReLU (+ optional dropout)."""
+
+    features: int
+    norm: str = "instance"
+    use_norm: bool = True
+    dropout_rate: float = 0.0
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        x = nn.ConvTranspose(
+            self.features,
+            kernel_size=(4, 4),
+            strides=(2, 2),
+            padding="SAME",  # flax ConvTranspose: SAME == exact 2x up
+            dtype=self.dtype,
+            name="deconv",
+        )(x)
+        if self.use_norm:
+            x = make_norm(self.norm, self.dtype, name="norm")(x)
+        if self.dropout_rate > 0:
+            x = nn.Dropout(rate=self.dropout_rate)(
+                x, deterministic=deterministic
+            )
+        return nn.relu(x)

@@ -1,0 +1,7 @@
+from pwstablenet_tpu.train.state import (  # noqa: F401
+    TrainState,
+    create_models,
+    create_train_state,
+    make_optimizers,
+)
+from pwstablenet_tpu.train.step import make_train_step  # noqa: F401

@@ -1,0 +1,173 @@
+"""The jit-compiled adversarial train step (SURVEY.md C17, call stack
+3.1): one fused device program doing the D update then the G update —
+the reference's per-batch ``d_loss.backward(); optD.step();
+g_loss.backward(); optG.step()`` sequence becomes a single XLA module.
+
+Batch format (built by ``data``):
+  stacks: (B, 2, H, W, T*C) float32 in [-1, 1] — temporal stacks for
+          two consecutive time steps (for the temporal loss, C13)
+  stable: (B, 2, H, W, C) — ground-truth stable frames
+
+The pair axis is folded into the batch for all network forwards and
+unfolded only for the temporal term.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pwstablenet_tpu.config import ModelConfig, TrainConfig
+from pwstablenet_tpu.ops.warp import warp_image
+from pwstablenet_tpu.train import losses
+from pwstablenet_tpu.train.state import TrainState, make_optimizers
+
+Array = jax.Array
+
+
+def _fold(x: Array) -> Array:
+    """(B, 2, ...) -> (2B, ...)"""
+    return x.reshape((-1,) + x.shape[2:])
+
+
+def _center(stack: Array, cfg: ModelConfig) -> Array:
+    c0 = (cfg.temporal_window // 2) * cfg.in_channels
+    return stack[..., c0 : c0 + cfg.in_channels]
+
+
+def make_train_step(
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    gen,
+    disc,
+    feat,
+):
+    """Build the pure train_step; callers jit it (optionally with
+    shardings — see ``parallel.data_parallel_step``)."""
+    g_tx, d_tx = make_optimizers(train_cfg)
+
+    def warp_stages(flows, center):
+        return [
+            warp_image(
+                center,
+                f,
+                padding_mode=model_cfg.padding_mode,
+                align_corners=model_cfg.align_corners,
+                use_pallas=False,  # differentiable XLA path inside the step
+            )
+            for f in flows
+        ]
+
+    def train_step(
+        state: TrainState, batch: Dict[str, Array]
+    ) -> Tuple[TrainState, Dict[str, Array]]:
+        stacks = _fold(batch["stacks"])          # (2B, H, W, T*C)
+        stable = _fold(batch["stable"])          # (2B, H, W, C)
+        center = _center(stacks, model_cfg)      # (2B, H, W, C) unstable
+        rng, drop_rng = jax.random.split(state.rng)
+
+        def g_apply(params, x):
+            kwargs = {}
+            if model_cfg.use_dropout:
+                kwargs = {
+                    "deterministic": False,
+                    "rngs": {"dropout": drop_rng},
+                }
+            return gen.apply(params, x, **kwargs)
+
+        # ---------------- D update (fake detached) ----------------
+        flows_detached = jax.lax.stop_gradient(g_apply(state.g_params, stacks))
+        fake_frames = jax.lax.stop_gradient(
+            warp_stages(flows_detached, center)[-1]
+        )
+
+        def d_loss_fn(d_params):
+            real_logits = disc.apply(
+                d_params, jnp.concatenate([center, stable], axis=-1)
+            )
+            fake_logits = disc.apply(
+                d_params, jnp.concatenate([center, fake_frames], axis=-1)
+            )
+            return losses.gan_loss_d(
+                real_logits, fake_logits, train_cfg.gan_loss
+            )
+
+        d_loss, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
+        d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
+        d_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.d_params, d_updates
+        )
+
+        # ---------------- G update (against updated D) -------------
+        feats_target = feat.apply(state.feat_params, stable)
+
+        def g_loss_fn(g_params):
+            flows = g_apply(g_params, stacks)
+            warped = warp_stages(flows, center)
+
+            per_stage, terms_last = [], {}
+            for s, w_s in enumerate(warped):
+                fake_logits = disc.apply(
+                    d_params, jnp.concatenate([center, w_s], axis=-1)
+                )
+                adv = losses.gan_loss_g(fake_logits, train_cfg.gan_loss)
+                pix = losses.pixel_loss(w_s, stable)
+                feats_pred = feat.apply(state.feat_params, w_s)
+                per = losses.feature_loss(feats_pred, feats_target)
+                tmp = losses.temporal_loss(
+                    w_s.reshape((-1, 2) + w_s.shape[1:])
+                )
+                reg = losses.warp_smoothness_loss(flows[s])
+                stage_total = (
+                    adv
+                    + train_cfg.w_pixel * pix
+                    + train_cfg.w_feature * per
+                    + train_cfg.w_temporal * tmp
+                    + train_cfg.w_warp_reg * reg
+                )
+                per_stage.append(stage_total)
+                terms_last = {
+                    "adv": adv, "pixel": pix, "feature": per,
+                    "temporal": tmp, "warp_reg": reg,
+                }
+            total = losses.stage_weighted(
+                per_stage, train_cfg.stage_weights[: len(per_stage)]
+            )
+            return total, terms_last
+
+        (g_loss, terms), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(state.g_params)
+        g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
+        g_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.g_params, g_updates
+        )
+
+        metrics = {
+            "loss_d": d_loss,
+            "loss_g": g_loss,
+            "grad_norm_g": optax_global_norm(g_grads),
+            "grad_norm_d": optax_global_norm(d_grads),
+            **terms,
+        }
+        new_state = state.replace(
+            step=state.step + 1,
+            g_params=g_params,
+            d_params=d_params,
+            g_opt=g_opt,
+            d_opt=d_opt,
+            rng=rng,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def optax_global_norm(tree: Any) -> Array:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(
+        sum(jnp.sum(jnp.square(l.astype(jnp.float32))) for l in leaves)
+    )
+
