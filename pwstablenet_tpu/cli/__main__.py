@@ -1,0 +1,3 @@
+from pwstablenet_tpu.cli.main import main
+
+raise SystemExit(main())

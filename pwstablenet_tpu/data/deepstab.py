@@ -1,0 +1,183 @@
+"""DeepStab dataset pipeline (SURVEY.md C2-C4, call stack 3.5).
+
+DeepStab is 61 synchronized stable/unstable video pairs captured with a
+dual-camera rig (paper, arXiv:1905.08959).  Layout expected::
+
+    <data_root>/<unstable_dir>/<name>.avi
+    <data_root>/<stable_dir>/<name>.avi      (same basename = a pair)
+
+A sample is: the unstable temporal stack around frame t for two
+consecutive time steps (t, t+1 — the temporal-loss pair, C13) plus the
+ground-truth stable frames, with a shared random crop and optional
+horizontal flip (C4).  Frames are decoded host-side by OpenCV (C1) with
+per-video capture reuse, and batches are assembled by a background
+thread feeding a bounded queue (double buffering, BASELINE.json:5).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from pwstablenet_tpu.config import DataConfig
+from pwstablenet_tpu.data import video_io
+
+
+class _VideoCache:
+    """Sequential-friendly frame reader with capture + position reuse."""
+
+    def __init__(self, path: str):
+        import cv2
+
+        self._cv2 = cv2
+        self.path = path
+        self._cap = cv2.VideoCapture(path)
+        if not self._cap.isOpened():
+            raise FileNotFoundError(path)
+        self.num_frames = int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        self._pos = 0
+
+    def read(self, t: int) -> np.ndarray:
+        if t != self._pos:
+            self._cap.set(self._cv2.CAP_PROP_POS_FRAMES, t)
+            self._pos = t
+        ok, bgr = self._cap.read()
+        if not ok:
+            raise IOError(f"failed to read frame {t} of {self.path}")
+        self._pos = t + 1
+        return video_io._to_float(bgr)
+
+    def read_range(self, lo: int, hi: int) -> List[np.ndarray]:
+        return [self.read(t) for t in range(lo, hi)]
+
+
+class DeepStabDataset:
+    """Pairs index + sampler."""
+
+    def __init__(self, cfg: DataConfig, temporal_window: int):
+        self.cfg = cfg
+        self.window = temporal_window
+        unstable_root = os.path.join(cfg.data_root, cfg.unstable_dir)
+        stable_root = os.path.join(cfg.data_root, cfg.stable_dir)
+        if not os.path.isdir(unstable_root):
+            raise FileNotFoundError(
+                f"DeepStab unstable dir not found: {unstable_root}"
+            )
+        names = sorted(
+            n for n in os.listdir(unstable_root)
+            if os.path.exists(os.path.join(stable_root, n))
+        )
+        if not names:
+            raise FileNotFoundError(
+                f"no stable/unstable pairs under {cfg.data_root}"
+            )
+        self.pairs: List[Tuple[str, str]] = [
+            (
+                os.path.join(unstable_root, n),
+                os.path.join(stable_root, n),
+            )
+            for n in names
+        ]
+        self._caches: Dict[str, _VideoCache] = {}
+        self._lock = threading.Lock()
+
+    def _cache(self, path: str) -> _VideoCache:
+        with self._lock:
+            if path not in self._caches:
+                self._caches[path] = _VideoCache(path)
+            return self._caches[path]
+
+    def sample(self, rng: np.random.Generator) -> Dict[str, np.ndarray]:
+        """One training sample (un-batched): stacks (2, H, W, T*3),
+        stable (2, H, W, 3)."""
+        cfg = self.cfg
+        half = self.window // 2
+        stride = cfg.frame_stride
+        u_path, s_path = self.pairs[int(rng.integers(len(self.pairs)))]
+        u, s = self._cache(u_path), self._cache(s_path)
+        n = min(u.num_frames, s.num_frames)
+        lo_need = half * stride
+        hi_need = (half + 1) * stride + 1
+        t = int(rng.integers(lo_need, max(n - hi_need, lo_need + 1)))
+
+        # decode the union of frames needed for both time steps
+        span = [
+            t + k + j * stride for k in range(2) for j in range(-half, half + 1)
+        ]
+        lo, hi = min(span), max(span) + 1
+        u_frames = {i: f for i, f in zip(range(lo, hi), u.read_range(lo, hi))}
+        s_t = s.read(t)
+        s_t1 = s.read(t + 1)
+
+        ch, cw = cfg.crop_size
+        H, W = s_t.shape[:2]
+        if H < ch or W < cw:
+            raise ValueError(
+                f"video {s_path} ({H}x{W}) smaller than crop {ch}x{cw}"
+            )
+        y0 = int(rng.integers(0, H - ch + 1))
+        x0 = int(rng.integers(0, W - cw + 1))
+        flip = cfg.random_flip and bool(rng.integers(2))
+
+        def prep(img: np.ndarray) -> np.ndarray:
+            img = img[y0 : y0 + ch, x0 : x0 + cw]
+            return img[:, ::-1] if flip else img
+
+        stacks = np.zeros((2, ch, cw, self.window * 3), np.float32)
+        stable = np.zeros((2, ch, cw, 3), np.float32)
+        for k in range(2):
+            window = [
+                prep(u_frames[t + k + j * stride])
+                for j in range(-half, half + 1)
+            ]
+            stacks[k] = np.concatenate(window, axis=-1)
+        stable[0] = prep(s_t)
+        stable[1] = prep(s_t1)
+        return {"stacks": stacks, "stable": stable}
+
+
+def batch_iterator(
+    dataset: DeepStabDataset,
+    batch_size: int,
+    seed: int = 0,
+    prefetch_depth: Optional[int] = None,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Endless batches with background prefetch."""
+    depth = prefetch_depth or dataset.cfg.prefetch_depth
+
+    def gen():
+        rng = np.random.default_rng(seed)
+        while True:
+            samples = [dataset.sample(rng) for _ in range(batch_size)]
+            yield {
+                k: np.stack([s[k] for s in samples]) for k in samples[0]
+            }
+
+    return iter(video_io.Prefetcher(gen(), depth=depth))
+
+
+def write_synthetic_deepstab(
+    root: str,
+    num_pairs: int = 2,
+    frames: int = 40,
+    height: int = 288,
+    width: int = 384,
+    seed: int = 0,
+) -> None:
+    """Materialize a tiny synthetic DeepStab-shaped dataset on disk
+    (for tests and smoke training without the real download)."""
+    from pwstablenet_tpu.data.synthetic import synthetic_pair_clip
+
+    os.makedirs(os.path.join(root, "stable"), exist_ok=True)
+    os.makedirs(os.path.join(root, "unstable"), exist_ok=True)
+    for i in range(num_pairs):
+        s, u = synthetic_pair_clip(frames, height, width, seed=seed + i)
+        video_io.write_video(
+            os.path.join(root, "stable", f"{i:02d}.avi"), s, 30.0, "MJPG"
+        )
+        video_io.write_video(
+            os.path.join(root, "unstable", f"{i:02d}.avi"), u, 30.0, "MJPG"
+        )

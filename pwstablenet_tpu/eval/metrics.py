@@ -1,0 +1,118 @@
+"""Offline video-stabilization quality metrics (SURVEY.md C21).
+
+The standard trio used by the stabilization literature (and by the
+PWStableNet paper's evaluation): cropping ratio, distortion value, and
+stability score.  The reference repo shipped no metric code (the
+ecosystem used offline scripts); here they are first-class so quality
+claims are self-checkable.
+
+Definitions (following the common protocol of Liu et al. / the
+PWStableNet paper's evaluation section):
+
+- **cropping ratio**: mean scale of the homography mapping original ->
+  stabilized frames (how much content survives; closer to 1 is better).
+- **distortion value**: worst-case anisotropy of those homographies'
+  affine parts — ratio of the two largest eigenvalues' magnitudes
+  (closer to 1 is better).
+- **stability score**: energy of the low-frequency (2nd-6th) components
+  of the inter-frame motion trajectory as a fraction of total spectral
+  energy (higher is smoother camera path).
+
+All host-side (numpy + OpenCV feature tracking) — offline analysis,
+not on the device path.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+def _to_gray_u8(frame: np.ndarray) -> np.ndarray:
+    import cv2
+
+    u8 = np.clip((frame + 1.0) * 127.5, 0, 255).astype(np.uint8)
+    return cv2.cvtColor(u8, cv2.COLOR_RGB2GRAY)
+
+
+def _track_affine(a: np.ndarray, b: np.ndarray) -> Optional[np.ndarray]:
+    """Estimate a 2x3 affine transform from frame a to frame b."""
+    import cv2
+
+    ga, gb = _to_gray_u8(a), _to_gray_u8(b)
+    pts = cv2.goodFeaturesToTrack(
+        ga, maxCorners=200, qualityLevel=0.01, minDistance=8
+    )
+    if pts is None or len(pts) < 8:
+        return None
+    nxt, status, _ = cv2.calcOpticalFlowPyrLK(ga, gb, pts, None)
+    ok = status.ravel() == 1
+    if ok.sum() < 8:
+        return None
+    m, _ = cv2.estimateAffinePartial2D(pts[ok], nxt[ok])
+    return m
+
+
+def interframe_transforms(frames: np.ndarray) -> List[np.ndarray]:
+    """Affine transforms between consecutive frames."""
+    out = []
+    for i in range(len(frames) - 1):
+        m = _track_affine(frames[i], frames[i + 1])
+        out.append(m if m is not None else np.eye(2, 3, dtype=np.float32))
+    return out
+
+
+def stability_score(frames: np.ndarray) -> float:
+    """Low-frequency energy ratio of the motion trajectories."""
+    ms = interframe_transforms(frames)
+    if not ms:
+        return 1.0
+    # accumulate translation + rotation paths
+    tx = np.cumsum([m[0, 2] for m in ms])
+    ty = np.cumsum([m[1, 2] for m in ms])
+    rot = np.cumsum([np.arctan2(m[1, 0], m[0, 0]) for m in ms])
+
+    def ratio(path: np.ndarray) -> float:
+        spec = np.abs(np.fft.rfft(path - path.mean())) ** 2
+        total = spec[1:].sum()
+        if total <= 1e-12:
+            return 1.0
+        return float(spec[1:6].sum() / total)
+
+    return float(np.mean([ratio(tx), ratio(ty), ratio(rot)]))
+
+
+def cropping_ratio_and_distortion(
+    original: np.ndarray, stabilized: np.ndarray
+) -> Dict[str, float]:
+    """Homography original->stabilized per frame: mean scale (cropping)
+    and worst anisotropy (distortion)."""
+    scales, anisos = [], []
+    for o, s in zip(original, stabilized):
+        m = _track_affine(o, s)
+        if m is None:
+            continue
+        a = m[:2, :2]
+        sv = np.linalg.svd(a, compute_uv=False)
+        if sv[0] <= 1e-9:
+            continue
+        scales.append(float(np.sqrt(abs(np.linalg.det(a)) + 1e-12)))
+        anisos.append(float(sv[1] / sv[0]))
+    return {
+        "cropping_ratio": float(np.mean(scales)) if scales else 1.0,
+        "distortion_value": float(np.min(anisos)) if anisos else 1.0,
+    }
+
+
+def stability_report(
+    stabilized: np.ndarray, original: Optional[np.ndarray] = None
+) -> Dict[str, float]:
+    """Full metric report; cropping/distortion require the original."""
+    report = {"stability_score": stability_score(stabilized)}
+    if original is not None:
+        report["original_stability_score"] = stability_score(original)
+        report.update(
+            cropping_ratio_and_distortion(original, stabilized)
+        )
+    return report

@@ -274,6 +274,11 @@ def grid_sample_pallas(
     out_p = pl.pallas_call(
         kernel,
         grid=(b,),
+        compiler_params=pltpu.CompilerParams(
+            # default scoped limit is 16 MB; v5e has 128 MB of VMEM and
+            # one resident 720p frame + grid + output needs ~30 MB
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         in_specs=[
             pl.BlockSpec(
                 (1, c, h, w), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM

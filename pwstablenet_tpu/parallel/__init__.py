@@ -1,0 +1,9 @@
+from pwstablenet_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    data_parallel_step,
+    make_mesh,
+    make_mesh_for_batch,
+    replicate_tree,
+    replicated,
+    shard_batch,
+)

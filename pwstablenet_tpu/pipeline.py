@@ -1,0 +1,276 @@
+"""Public inference pipeline (SURVEY.md C19, call stack 3.2): unstable
+clip in -> stabilized clip + warp fields out, mirroring the reference's
+test-script entry point.
+
+TPU-first design decisions:
+
+- The generator always runs at its fixed ``model_resolution`` (static
+  shapes, one compiled executable for any video size); warp fields are
+  emitted in resolution-independent normalized units and applied to the
+  full-resolution frames by the fused warp (Pallas kernel when the
+  frame geometry supports it, XLA gather otherwise).
+- Frames cross host->device ONCE per chunk; temporal window stacking
+  happens on-device with static slices (a frame is reused by up to
+  ``temporal_window`` windows, so host-side stacking would multiply
+  H2D traffic by the window size).
+- Chunks are processed in a streaming loop with background decode
+  (``data.video_io.Prefetcher``) overlapping device compute.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pwstablenet_tpu.config import ModelConfig, PipelineConfig
+from pwstablenet_tpu.data import video_io
+from pwstablenet_tpu.models import CascadedGenerator
+from pwstablenet_tpu.ops.warp import resize_flow, warp_image
+
+Array = jax.Array
+
+
+class Stabilizer:
+    """Video stabilization inference engine.
+
+    ``params`` may come from training, an Orbax checkpoint
+    (``train.checkpoint``), or a converted reference checkpoint
+    (``interop.torch_import``).
+    """
+
+    def __init__(
+        self,
+        model_cfg: Optional[ModelConfig] = None,
+        pipeline_cfg: Optional[PipelineConfig] = None,
+        params=None,
+        seed: int = 0,
+    ):
+        self.model_cfg = model_cfg or ModelConfig()
+        self.pipeline_cfg = pipeline_cfg or PipelineConfig()
+        self.model = CascadedGenerator(self.model_cfg)
+        if params is None:
+            h, w = self.model_cfg.model_resolution
+            x = jnp.zeros((1, h, w, self.model_cfg.stack_channels))
+            params = jax.jit(self.model.init)(jax.random.PRNGKey(seed), x)
+        self.params = params
+
+    # ------------------------------------------------------------------
+    @functools.cached_property
+    def _chunk_step(self):
+        """Compiled per-chunk step: frames (N+T-1, H, W, 3) ->
+        (stabilized (N, H, W, 3), flows (N, h, w, 2))."""
+        cfg = self.model_cfg
+        mh, mw = cfg.model_resolution
+        T = cfg.temporal_window
+
+        @functools.partial(jax.jit, static_argnames=("use_pallas",))
+        def step(params, frames, use_pallas):
+            n = frames.shape[0] - (T - 1)
+            # device-side resize to model resolution
+            small = jax.image.resize(
+                frames,
+                (frames.shape[0], mh, mw, frames.shape[-1]),
+                method="bilinear",
+            )
+            # temporal stacking with static slices: window j contributes
+            # frames [j, j+n)
+            stacks = jnp.concatenate(
+                [small[j : j + n] for j in range(T)], axis=-1
+            )
+            flows = self.model.apply(params, stacks)
+            flow = flows[-1]  # final cascade stage
+            centers = frames[T // 2 : T // 2 + n]
+            stabilized = warp_image(
+                centers,
+                flow,
+                padding_mode=cfg.padding_mode,
+                align_corners=cfg.align_corners,
+                use_pallas=use_pallas,
+            )
+            return stabilized, flow
+
+        return step
+
+    # ------------------------------------------------------------------
+    def stabilize_frames(
+        self, frames: np.ndarray, batch_windows: Optional[int] = None
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Stabilize a clip.
+
+        Args:
+          frames: (time, H, W, 3) RGB float32 in [-1, 1].
+        Returns:
+          (stabilized (time, H, W, 3) float32, warp_fields (time, h, w, 2)
+          normalized displacements at model resolution).
+        """
+        outs, flows = [], []
+        for s, f in self._stream(iter([frames]), batch_windows):
+            outs.append(s)
+            flows.append(f)
+        return np.concatenate(outs), np.concatenate(flows)
+
+    def stabilize_video(
+        self,
+        input_path: str,
+        output_path: str,
+        warp_field_path: Optional[str] = None,
+        max_frames: int = -1,
+    ) -> dict:
+        """Video-in/video-out entry point (the reference's CLI surface).
+
+        Streams arbitrarily long videos: decode (background thread) ->
+        device chunks -> stabilized frames -> incremental encode.
+        Optionally saves warp fields as a compressed ``.npz``.
+        """
+        cfg = self.pipeline_cfg
+        chunk = max(cfg.batch_windows, 1)
+        frames_iter = video_io.iter_video(input_path, chunk)
+        if max_frames > 0:
+            frames_iter = _limit_frames(frames_iter, max_frames)
+
+        import cv2  # probe fps/size cheaply
+
+        cap = cv2.VideoCapture(input_path)
+        fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+        h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+        w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+        cap.release()
+
+        writer = video_io.VideoWriterStream(
+            output_path, fps, (h, w), cfg.output_codec
+        )
+        all_flows = []
+        count = 0
+        try:
+            for stabilized, flow in self._stream(
+                video_io.Prefetcher(frames_iter, cfg.prefetch_depth),
+                cfg.batch_windows,
+            ):
+                stabilized = self._border_crop(stabilized)
+                writer.write(stabilized)
+                count += stabilized.shape[0]
+                if cfg.emit_warp_fields:
+                    all_flows.append(flow)
+        finally:
+            writer.close()
+        result = {"frames": count, "fps": fps, "output": output_path}
+        if cfg.emit_warp_fields and warp_field_path:
+            np.savez_compressed(
+                warp_field_path, warp_fields=np.concatenate(all_flows)
+            )
+            result["warp_fields"] = warp_field_path
+        return result
+
+    # ------------------------------------------------------------------
+    def _stream(
+        self, chunks: Iterator[np.ndarray], batch_windows: Optional[int]
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Core streaming loop over decoded chunks.
+
+        Maintains a halo of ``temporal_window - 1`` frames between
+        chunks so every output frame sees its full temporal context;
+        the clip edges are replicate-padded.
+        """
+        cfg = self.model_cfg
+        T = cfg.temporal_window
+        half = T // 2
+        n = batch_windows or self.pipeline_cfg.batch_windows
+
+        carry: Optional[np.ndarray] = None  # trailing T-1 frames
+        first = True
+        pending: Optional[np.ndarray] = None
+        for chunk in chunks:
+            if first:
+                lead = np.repeat(chunk[:1], half, axis=0)
+                chunk = np.concatenate([lead, chunk])
+                first = False
+            if carry is not None:
+                chunk = np.concatenate([carry, chunk])
+            # process all complete windows, keep the tail as carry
+            while chunk.shape[0] >= n + T - 1:
+                yield self._run_chunk(chunk[: n + T - 1])
+                chunk = chunk[n:]
+            carry = chunk
+        if carry is None:
+            return
+        # flush: replicate-pad the end, then emit remaining windows
+        tail = np.repeat(carry[-1:], half, axis=0)
+        buf = np.concatenate([carry, tail])
+        while buf.shape[0] >= T:
+            m = buf.shape[0] - (T - 1)  # windows remaining
+            take = min(n, m)
+            yield self._run_chunk(buf[: take + T - 1], allow_short=True)
+            buf = buf[take:]
+
+    def _run_chunk(
+        self, frames: np.ndarray, allow_short: bool = False
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        cfg = self.model_cfg
+        T = cfg.temporal_window
+        n_target = self.pipeline_cfg.batch_windows
+        n = frames.shape[0] - (T - 1)
+        if n < n_target and not allow_short:
+            raise ValueError("internal: short chunk without allow_short")
+        # pad short flush chunks to the compiled batch size (static shapes)
+        pad = 0
+        if n < n_target:
+            pad = n_target - n
+            frames = np.concatenate(
+                [frames, np.repeat(frames[-1:], pad, axis=0)]
+            )
+        use_pallas = self._pallas_ok(frames.shape)
+        stabilized, flow = self._chunk_step(
+            self.params, jnp.asarray(frames), use_pallas
+        )
+        stabilized = np.asarray(stabilized)
+        flow = np.asarray(flow)
+        if pad:
+            stabilized = stabilized[:-pad]
+            flow = flow[:-pad]
+        return stabilized, flow
+
+    def _pallas_ok(self, frames_shape) -> bool:
+        if jax.default_backend() != "tpu":
+            return False
+        from pwstablenet_tpu.kernels.grid_sample_pallas import pallas_supported
+
+        t, h, w, c = frames_shape
+        n = t - (self.model_cfg.temporal_window - 1)
+        return (
+            self.model_cfg.padding_mode in ("border", "zeros")
+            and pallas_supported((n, h, w, c), jnp.float32)
+        )
+
+    def _border_crop(self, frames: np.ndarray) -> np.ndarray:
+        frac = self.pipeline_cfg.border_crop_frac
+        if frac <= 0:
+            return frames
+        t, h, w, c = frames.shape
+        dy, dx = int(h * frac), int(w * frac)
+        return frames[:, dy : h - dy, dx : w - dx]
+
+
+def _limit_frames(chunks: Iterator[np.ndarray], limit: int):
+    seen = 0
+    for c in chunks:
+        if seen + c.shape[0] >= limit:
+            yield c[: limit - seen]
+            return
+        seen += c.shape[0]
+        yield c
+
+
+def stabilize(
+    frames: np.ndarray,
+    model_cfg: Optional[ModelConfig] = None,
+    params=None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Functional one-shot API: clip in -> (stabilized clip, warp fields).
+
+    Mirrors the reference inference entry point (BASELINE.json:5)."""
+    return Stabilizer(model_cfg, params=params).stabilize_frames(frames)

@@ -1,0 +1,125 @@
+"""Host training loop (SURVEY.md C17, call stack 3.1 build equivalent).
+
+The device does all the math (one fused train_step); the host loop only
+feeds data, logs structured metrics, and checkpoints.  Supports:
+
+- data-parallel execution over a mesh (``parallel.data_parallel_step``)
+- resume from the latest Orbax checkpoint (``--resume``)
+- NaN guarding (``TrainConfig.debug_nans``; SURVEY.md section 5.2)
+- fault injection for resume testing
+  (``TrainConfig.fault_inject_step``; SURVEY.md section 5.3)
+- JSONL metrics to stdout + optional TensorBoard-free scalar log file
+  (SURVEY.md section 5.5)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from typing import Callable, Iterator, Optional
+
+import jax
+import numpy as np
+
+from pwstablenet_tpu.config import MeshConfig, ModelConfig, TrainConfig
+from pwstablenet_tpu.parallel import (
+    data_parallel_step,
+    make_mesh_for_batch,
+    replicate_tree,
+    shard_batch,
+)
+from pwstablenet_tpu.train import checkpoint as ckpt
+from pwstablenet_tpu.train.state import create_train_state
+from pwstablenet_tpu.train.step import make_train_step
+
+
+class FaultInjected(RuntimeError):
+    """Raised by the debug fault-injection flag to test resume."""
+
+
+def train(
+    model_cfg: ModelConfig,
+    train_cfg: TrainConfig,
+    batch_iterator: Iterator[dict],
+    mesh_cfg: Optional[MeshConfig] = None,
+    resume: bool = False,
+    max_steps: Optional[int] = None,
+    log_fn: Optional[Callable[[dict], None]] = None,
+):
+    """Run adversarial training; returns the final TrainState."""
+    state, (gen, disc, feat) = create_train_state(
+        model_cfg, train_cfg, jax.random.PRNGKey(train_cfg.seed)
+    )
+    if resume:
+        restored = ckpt.latest_step(train_cfg.checkpoint_dir)
+        if restored is not None:
+            state = ckpt.restore_state(train_cfg.checkpoint_dir, state)
+            print(
+                json.dumps({"event": "resumed", "step": int(state.step)}),
+                file=sys.stderr,
+            )
+
+    mesh = make_mesh_for_batch(train_cfg.batch_size, mesh_cfg)
+    step_fn = data_parallel_step(
+        make_train_step(model_cfg, train_cfg, gen, disc, feat), mesh
+    )
+    state = replicate_tree(state, mesh)
+
+    total = (
+        max_steps
+        if max_steps is not None
+        else train_cfg.num_epochs * train_cfg.steps_per_epoch
+    )
+    log = log_fn or (lambda m: print(json.dumps(m), flush=True))
+
+    t_last = time.perf_counter()
+    while int(state.step) < total:
+        batch = next(batch_iterator)
+        batch = shard_batch(
+            jax.tree_util.tree_map(np.asarray, batch), mesh
+        )
+        state, metrics = step_fn(state, batch)
+        step = int(state.step)
+
+        if train_cfg.fault_inject_step == step:
+            raise FaultInjected(f"injected fault at step {step}")
+
+        if step % train_cfg.log_every == 0 or step == total:
+            now = time.perf_counter()
+            scalars = {
+                k: float(v) for k, v in metrics.items()
+            }
+            if train_cfg.debug_nans and not all(
+                np.isfinite(v) for v in scalars.values()
+            ):
+                raise FloatingPointError(
+                    f"non-finite metrics at step {step}: {scalars}"
+                )
+            scalars.update(
+                step=step,
+                sec_per_step=(now - t_last) / train_cfg.log_every,
+            )
+            t_last = now
+            log(scalars)
+
+        if step % train_cfg.checkpoint_every == 0 or step == total:
+            ckpt.save_state(
+                train_cfg.checkpoint_dir, state, train_cfg.keep_checkpoints
+            )
+    return state
+
+
+def synthetic_batch_iterator(
+    model_cfg: ModelConfig, train_cfg: TrainConfig, seed: int = 0
+) -> Iterator[dict]:
+    """Endless synthetic DeepStab-like batches (for tests/smoke runs)."""
+    from pwstablenet_tpu.data.synthetic import make_train_batch
+
+    h, w = model_cfg.model_resolution
+    i = seed
+    while True:
+        yield make_train_batch(
+            train_cfg.batch_size, h, w, model_cfg.temporal_window, seed=i
+        )
+        i += 1

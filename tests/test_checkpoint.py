@@ -1,0 +1,100 @@
+"""Checkpoint / resume / fault-injection tests (SURVEY.md section 5.3-4)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pwstablenet_tpu.config import ModelConfig, TrainConfig
+from pwstablenet_tpu.data import make_train_batch
+from pwstablenet_tpu.train import checkpoint as ckpt
+from pwstablenet_tpu.train import create_train_state, make_train_step
+from pwstablenet_tpu.train.loop import (
+    FaultInjected,
+    synthetic_batch_iterator,
+    train,
+)
+
+TINY = ModelConfig(
+    temporal_window=3,
+    num_levels=3,
+    base_features=8,
+    max_features=16,
+    model_resolution=(16, 16),
+    num_stages=1,
+    disc_num_layers=1,
+    feat_channels=(8,),
+    compute_dtype="float32",
+)
+
+
+def _tcfg(tmp_path, **kw):
+    defaults = dict(
+        batch_size=2,
+        num_epochs=1,
+        steps_per_epoch=4,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        checkpoint_every=2,
+        log_every=100,
+    )
+    defaults.update(kw)
+    return TrainConfig(**defaults)
+
+
+def test_save_restore_roundtrip(tmp_path):
+    tcfg = _tcfg(tmp_path)
+    state, (gen, disc, feat) = create_train_state(
+        TINY, tcfg, jax.random.PRNGKey(0)
+    )
+    step = jax.jit(make_train_step(TINY, tcfg, gen, disc, feat))
+    batch = jax.tree_util.tree_map(
+        jnp.asarray, make_train_batch(2, 16, 16, 3, seed=0)
+    )
+    state, _ = step(state, batch)
+    ckpt.save_state(tcfg.checkpoint_dir, state)
+
+    template, _ = create_train_state(TINY, tcfg, jax.random.PRNGKey(9))
+    restored = ckpt.restore_state(tcfg.checkpoint_dir, template)
+    assert int(restored.step) == int(state.step)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.g_params),
+        jax.tree_util.tree_leaves(restored.g_params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # optimizer state restored too (resume-exactness)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.g_opt),
+        jax.tree_util.tree_leaves(restored.g_opt),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fault_inject_then_resume(tmp_path):
+    """Crash mid-training via the debug flag, resume from the last
+    checkpoint, and finish — the SURVEY.md section 5.3 story."""
+    tcfg = _tcfg(tmp_path, fault_inject_step=3)
+    with pytest.raises(FaultInjected):
+        train(TINY, tcfg, synthetic_batch_iterator(TINY, tcfg),
+              max_steps=4, log_fn=lambda m: None)
+    assert ckpt.latest_step(tcfg.checkpoint_dir) == 2
+
+    tcfg2 = _tcfg(tmp_path)  # no fault
+    final = train(TINY, tcfg2, synthetic_batch_iterator(TINY, tcfg2),
+                  resume=True, max_steps=4, log_fn=lambda m: None)
+    assert int(final.step) == 4
+    assert ckpt.latest_step(tcfg2.checkpoint_dir) == 4
+
+
+def test_params_export_import(tmp_path):
+    state, _ = create_train_state(
+        TINY, _tcfg(tmp_path), jax.random.PRNGKey(0)
+    )
+    path = str(tmp_path / "gparams")
+    ckpt.save_params(path, state.g_params)
+    loaded = ckpt.load_params(path)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.g_params),
+        jax.tree_util.tree_leaves(loaded),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -1,0 +1,70 @@
+"""CLI surface tests (SURVEY.md C20).
+
+The two heavy commands run in-process through ``cli.main`` (a
+subprocess would re-import jax and recompile everything, ~5 min); the
+argument-error path runs as a true subprocess.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+from pwstablenet_tpu.cli import main
+
+
+def test_stabilize_synthetic(tmp_path, capsys):
+    out = str(tmp_path / "out.avi")
+    wf = str(tmp_path / "wf.npz")
+    rc = main([
+        "stabilize", "--synthetic", "--frames", "10",
+        "--height", "48", "--width", "64",
+        "--num-levels", "4", "--base-features", "8",
+        "--temporal-window", "3", "--model-height", "32",
+        "--model-width", "32",
+        "--batch-windows", "4",
+        "--output", out, "--warp-fields", wf,
+    ])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["frames"] == 10
+    assert os.path.exists(out)
+    assert np.load(wf)["warp_fields"].shape[0] == 10
+
+
+def test_train_synthetic_smoke(tmp_path, capsys):
+    rc = main([
+        "train", "--synthetic", "--steps", "2", "--batch-size", "2",
+        "--num-levels", "3", "--base-features", "8",
+        "--temporal-window", "3", "--model-height", "16",
+        "--model-width", "16", "--log-every", "1",
+        "--checkpoint-every", "2",
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+    ])
+    assert rc == 0
+    lines = [
+        json.loads(l)
+        for l in capsys.readouterr().out.strip().splitlines()
+        if l.startswith("{")
+    ]
+    assert any("loss_g" in l for l in lines)
+    assert os.path.isdir(tmp_path / "ckpt")
+
+
+def test_missing_args_error():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["PYTHONPATH"] = (
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        + os.pathsep
+        + env.get("PYTHONPATH", "")
+    )
+    r = subprocess.run(
+        [sys.executable, "-m", "pwstablenet_tpu.cli", "stabilize"],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 2
+    assert "--input/--output required" in r.stderr

@@ -1,0 +1,82 @@
+"""DeepStab loader + synthetic data + eval metric tests
+(SURVEY.md C2-C4, C21)."""
+
+import numpy as np
+import pytest
+
+from pwstablenet_tpu.config import DataConfig
+from pwstablenet_tpu.data.deepstab import (
+    DeepStabDataset,
+    batch_iterator,
+    write_synthetic_deepstab,
+)
+from pwstablenet_tpu.data.synthetic import synthetic_pair_clip
+from pwstablenet_tpu.eval import stability_report, stability_score
+
+
+@pytest.fixture(scope="module")
+def deepstab_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("deepstab"))
+    write_synthetic_deepstab(root, num_pairs=2, frames=24,
+                             height=96, width=128)
+    return root
+
+
+def test_dataset_sample_shapes(deepstab_root):
+    cfg = DataConfig(data_root=deepstab_root, crop_size=(64, 64))
+    ds = DeepStabDataset(cfg, temporal_window=3)
+    s = ds.sample(np.random.default_rng(0))
+    assert s["stacks"].shape == (2, 64, 64, 9)
+    assert s["stable"].shape == (2, 64, 64, 3)
+    assert np.isfinite(s["stacks"]).all()
+    # values normalized to [-1, 1]
+    assert s["stacks"].min() >= -1.001 and s["stacks"].max() <= 1.001
+
+
+def test_dataset_temporal_consistency(deepstab_root):
+    """The two time steps share video and crop: the second stack's
+    center frame equals the first stack's next-neighbor frame."""
+    cfg = DataConfig(data_root=deepstab_root, crop_size=(64, 64),
+                     random_flip=False)
+    ds = DeepStabDataset(cfg, temporal_window=3)
+    s = ds.sample(np.random.default_rng(1))
+    # stack layout: [f(t-1), f(t), f(t+1)] on channels
+    center_of_second = s["stacks"][1][..., 3:6]
+    next_of_first = s["stacks"][0][..., 6:9]
+    np.testing.assert_allclose(center_of_second, next_of_first, atol=1e-6)
+
+
+def test_batch_iterator(deepstab_root):
+    cfg = DataConfig(data_root=deepstab_root, crop_size=(64, 64))
+    ds = DeepStabDataset(cfg, temporal_window=3)
+    it = batch_iterator(ds, batch_size=3, seed=0)
+    b = next(it)
+    assert b["stacks"].shape == (3, 2, 64, 64, 9)
+    assert b["stable"].shape == (3, 2, 64, 64, 3)
+
+
+def test_missing_dataset_raises():
+    with pytest.raises(FileNotFoundError):
+        DeepStabDataset(DataConfig(data_root="/nonexistent"), 3)
+
+
+def test_stability_metrics_order():
+    """A stable clip must score higher than its shaky counterpart."""
+    stable, unstable = synthetic_pair_clip(24, 96, 128, seed=2,
+                                           shake_px=8.0)
+    s_stable = stability_score(stable)
+    s_unstable = stability_score(unstable)
+    assert s_stable > s_unstable, (s_stable, s_unstable)
+
+
+def test_stability_report_keys():
+    stable, unstable = synthetic_pair_clip(12, 96, 128, seed=3)
+    rep = stability_report(stable, unstable)
+    assert set(rep) == {
+        "stability_score",
+        "original_stability_score",
+        "cropping_ratio",
+        "distortion_value",
+    }
+    assert 0 < rep["cropping_ratio"] < 2
+    assert 0 < rep["distortion_value"] <= 1.001

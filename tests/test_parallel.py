@@ -1,0 +1,97 @@
+"""Multi-device data-parallel tests on the fake 8-device CPU mesh
+(SURVEY.md section 4.2 "multi-device" tier): sharded-vs-single-device
+step equivalence without a pod.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from pwstablenet_tpu.config import MeshConfig, ModelConfig, TrainConfig
+from pwstablenet_tpu.data import make_train_batch
+from pwstablenet_tpu.parallel import (
+    data_parallel_step,
+    make_mesh,
+    replicate_tree,
+    shard_batch,
+)
+from pwstablenet_tpu.train import create_train_state, make_train_step
+
+TINY = ModelConfig(
+    temporal_window=3,
+    num_levels=3,
+    base_features=8,
+    max_features=16,
+    model_resolution=(16, 16),
+    num_stages=2,
+    disc_num_layers=1,
+    feat_channels=(8,),
+    compute_dtype="float32",
+)
+TCFG = TrainConfig(batch_size=8, num_epochs=1, steps_per_epoch=4)
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh(MeshConfig())
+    assert mesh.devices.size == 8, "conftest must provide 8 CPU devices"
+
+
+def test_sharded_step_matches_single_device():
+    state, (gen, disc, feat) = create_train_state(
+        TINY, TCFG, jax.random.PRNGKey(0)
+    )
+    step = make_train_step(TINY, TCFG, gen, disc, feat)
+    batch = jax.tree_util.tree_map(
+        jnp.asarray, make_train_batch(8, 16, 16, TINY.temporal_window, seed=7)
+    )
+
+    # single-device reference
+    ref_state, ref_metrics = jax.jit(step)(state, batch)
+
+    # 8-way data parallel
+    mesh = make_mesh()
+    p_step = data_parallel_step(step, mesh)
+    p_state = replicate_tree(state, mesh)
+    p_batch = shard_batch(batch, mesh)
+    out_state, out_metrics = p_step(p_state, p_batch)
+
+    np.testing.assert_allclose(
+        float(ref_metrics["loss_g"]), float(out_metrics["loss_g"]),
+        rtol=2e-4,
+    )
+    np.testing.assert_allclose(
+        float(ref_metrics["loss_d"]), float(out_metrics["loss_d"]),
+        rtol=2e-4,
+    )
+    # updated params agree across the replicated mesh and match the
+    # single-device update
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ref_state.g_params),
+        jax.tree_util.tree_leaves(out_state.g_params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+        )
+
+
+def test_multi_step_sharded_run():
+    state, (gen, disc, feat) = create_train_state(
+        TINY, TCFG, jax.random.PRNGKey(1)
+    )
+    mesh = make_mesh()
+    p_step = data_parallel_step(
+        make_train_step(TINY, TCFG, gen, disc, feat), mesh
+    )
+    state = replicate_tree(state, mesh)
+    for i in range(3):
+        batch = shard_batch(
+            jax.tree_util.tree_map(
+                jnp.asarray,
+                make_train_batch(8, 16, 16, TINY.temporal_window, seed=i),
+            ),
+            mesh,
+        )
+        state, metrics = p_step(state, batch)
+        assert np.isfinite(float(metrics["loss_g"]))
+    assert int(state.step) == 3

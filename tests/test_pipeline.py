@@ -1,0 +1,107 @@
+"""Pipeline end-to-end tests (SURVEY.md section 4.2 "pipeline e2e"):
+synthetic clip -> stabilize() -> output shapes/finiteness/warp fields,
+plus the video-file CLI surface via OpenCV round-trip.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from pwstablenet_tpu.config import ModelConfig, PipelineConfig
+from pwstablenet_tpu.data.synthetic import synthetic_pair_clip
+from pwstablenet_tpu.data import video_io
+from pwstablenet_tpu.pipeline import Stabilizer, stabilize
+
+SMALL = ModelConfig(
+    temporal_window=5,
+    num_levels=4,
+    base_features=8,
+    max_features=16,
+    model_resolution=(32, 32),
+    num_stages=2,
+    compute_dtype="float32",
+)
+
+
+@pytest.fixture(scope="module")
+def clip():
+    stable, unstable = synthetic_pair_clip(20, 48, 64, seed=1)
+    return unstable
+
+
+def test_stabilize_frames_shapes(clip):
+    stab = Stabilizer(SMALL, PipelineConfig(batch_windows=4))
+    out, flows = stab.stabilize_frames(clip)
+    assert out.shape == clip.shape
+    assert flows.shape == (clip.shape[0], 32, 32, 2)
+    assert np.isfinite(out).all() and np.isfinite(flows).all()
+
+
+def test_untrained_model_is_identity_warp(clip):
+    """Zero-init warp heads: an untrained stabilizer returns the input."""
+    stab = Stabilizer(SMALL, PipelineConfig(batch_windows=4))
+    out, flows = stab.stabilize_frames(clip)
+    np.testing.assert_allclose(out, clip, atol=1e-4)
+    np.testing.assert_allclose(flows, 0.0, atol=1e-6)
+
+
+@pytest.mark.parametrize("batch_windows", [3, 8, 32])
+def test_frame_count_preserved_across_chunkings(clip, batch_windows):
+    stab = Stabilizer(SMALL, PipelineConfig(batch_windows=batch_windows))
+    out, flows = stab.stabilize_frames(clip)
+    assert out.shape[0] == clip.shape[0]
+    assert flows.shape[0] == clip.shape[0]
+
+
+def test_chunked_equals_whole(clip):
+    a = Stabilizer(SMALL, PipelineConfig(batch_windows=4)).stabilize_frames(clip)
+    b = Stabilizer(SMALL, PipelineConfig(batch_windows=16)).stabilize_frames(clip)
+    np.testing.assert_allclose(a[0], b[0], atol=1e-4)
+
+
+def test_functional_api(clip):
+    out, flows = stabilize(clip[:8], SMALL)
+    assert out.shape == clip[:8].shape
+
+
+def test_video_file_roundtrip(tmp_path, clip):
+    """Full video-in/video-out surface (C1 + C19)."""
+    src = str(tmp_path / "in.avi")
+    dst = str(tmp_path / "out.avi")
+    wf = str(tmp_path / "wf.npz")
+    video_io.write_video(src, clip, fps=10.0, codec="MJPG")
+
+    stab = Stabilizer(SMALL, PipelineConfig(batch_windows=4))
+    result = stab.stabilize_video(src, dst, warp_field_path=wf)
+    assert os.path.exists(dst)
+    assert result["frames"] == clip.shape[0]
+
+    decoded, fps = video_io.read_video(dst)
+    assert decoded.shape[0] == clip.shape[0]
+    assert decoded.shape[1:] == clip.shape[1:]
+
+    flows = np.load(wf)["warp_fields"]
+    assert flows.shape == (clip.shape[0], 32, 32, 2)
+
+
+def test_border_crop(clip):
+    stab = Stabilizer(
+        SMALL, PipelineConfig(batch_windows=4, border_crop_frac=0.1)
+    )
+    cropped = stab._border_crop(clip)
+    assert cropped.shape[1] == clip.shape[1] - 2 * int(clip.shape[1] * 0.1)
+
+
+def test_prefetcher_order_and_errors():
+    items = [np.full((2, 2), i) for i in range(7)]
+    out = list(video_io.Prefetcher(iter(items), depth=2))
+    assert len(out) == 7
+    np.testing.assert_array_equal(out[3], items[3])
+
+    def bad():
+        yield items[0]
+        raise RuntimeError("decode failed")
+
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(video_io.Prefetcher(bad(), depth=1))
