@@ -56,6 +56,21 @@ def main() -> int:
         mse = float(jnp.mean((out - ref) ** 2))
         results["pallas_vs_oracle_mse"] = mse
         log(f"pallas kernel parity MSE: {mse:.3e} (gate: <=1e-6)")
+
+        # gradient kernel vs XLA autodiff (custom-VJP backward)
+        from pwstablenet_tpu.kernels.grid_sample_pallas import (
+            grid_sample_grad_pallas,
+        )
+
+        ct = jnp.asarray(rng.standard_normal(img.shape).astype(np.float32))
+        expected = jax.grad(
+            lambda g: jnp.sum(ct * grid_sample(img, g))
+        )(grid)
+        got = grid_sample_grad_pallas(img, grid, ct)
+        gmse = float(jnp.mean((got - expected) ** 2))
+        results["pallas_grad_vs_autodiff_mse"] = gmse
+        log(f"pallas grad kernel parity MSE: {gmse:.3e} (gate: <=1e-6)")
+        mse = max(mse, gmse)
         if mse > 1e-6:
             log("PARITY FAILURE — refusing to report performance")
             print(json.dumps({

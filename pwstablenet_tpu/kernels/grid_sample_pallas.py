@@ -2,50 +2,49 @@
 
 This is the TPU-native rebuild of the reference's hottest native op, the
 ATen ``grid_sampler_2d`` CUDA kernel behind its single ``F.grid_sample``
-call site (SURVEY.md C8 / N-2 / section 3.4).
+call site (SURVEY.md C8 / N-2 / section 3.4).  It is the framework's
+primary warp path: XLA's generic gather lowering collapses at video
+resolutions (measured on v5e: 458 ms for an 8-frame 720p warp vs 22 ms
+for this kernel), while this kernel exploits the structure of
+stabilization warps.
 
-Design notes (and an honest performance account)
-------------------------------------------------
-A CUDA grid-sample kernel is one thread per output pixel doing four
-arbitrary global loads.  TPUs have no per-lane arbitrary load: Mosaic's
-``tpu.dynamic_gather`` gathers within a *single* (8, 128) vreg along one
-dimension (verified on v5e: multi-vreg gather dimensions raise
-"Not implemented").  A general gather must therefore be emulated by
-chunked vreg gathers + selects, which is why XLA's own highly tuned
-gather lowering (measured at ~780 GB/s ≈ 95% of v5e HBM speed-of-light
-on 720p warps) remains the default execution path for large frames
-(``ops.grid_sample``).
+Hardware constraints that shape the design (all verified on v5e):
 
-What the Pallas kernel exploits is the locality of the warps this
-framework actually produces — stabilization fields are smooth (they are
-bilinearly upsampled from the generator's model-resolution output) and
-bounded:
+- ``tpu.dynamic_gather`` gathers within a *single* (8, 128) vreg along
+  one dimension; multi-vreg gather dims are "Not implemented".
+- Dynamic sublane loads must be 8-aligned.
+- Scalar branches (``lax.cond``) in inner loops cost more than the
+  vector work they skip (measured 5x slowdown) — the kernel uses
+  data-dependent *loop bounds* instead of per-segment branches.
+- Interleaved NHWC blocks put C on the 128-lane minor dim and pad it
+  to 128 lanes (~40x VMEM inflation) — the kernel is planar (C, H, W)
+  internally; the wrapper transposes from/to the framework's NHWC.
 
-- output processed in 8-row x 128-lane tiles;
-- per tile, source rows come from a ``row_window``-tall window whose
-  base is the tile's own minimum source row (dynamic VMEM slice), so
-  the vertical gather is a short select-accumulate sweep instead of H;
-- the horizontal gather is a per-sublane ``dynamic_gather`` over the
-  (static) 3-chunk column window around the tile;
-- coordinate unnormalization, corner weights, the four taps and the
-  bilinear blend all fuse in VMEM; the sampling grid is read once.
+Design:
 
-Layout: internally the kernel uses planar (C, H, W) buffers so W sits
-on the 128-lane minor dimension — an interleaved NHWC block would pad
-C=3 up to 128 lanes and inflate VMEM ~40x (observed).  The public
-wrapper transposes from/to the framework's NHWC convention.
+- The output is processed in row blocks of ``BR`` rows (the largest
+  divisor of H that is <= 144 and a multiple of 8).  Each program sees
+  a 3-block input window [(s)*BR, (s+3)*BR), s = clip(t-1, 0, nb-3),
+  via three shifted ``BlockSpec``s, assembled into one contiguous VMEM
+  scratch window.
+- Each 8x128 output tile unnormalizes its grid chunk, derives
+  window-local tap rows/columns, and accumulates the four bilinear taps
+  by sweeping only the 8-row groups its pixels actually touch
+  (``fori_loop`` with data-dependent bounds — for smooth upsampled
+  stabilization flows that is 1-2 groups, not the whole window).
+- The horizontal gather is a per-sublane ``dynamic_gather`` over a
+  static 3-chunk column window around the tile.
+- Coordinates, weights, taps and the blend all fuse in VMEM; image and
+  grid are each read once from HBM.
 
-Exactness contract: the kernel equals ``ops.grid_sample`` whenever,
-within any 8x128 output tile, (a) the spread of source rows fits the
-row window minus alignment slack (``max(y0)-min(y0) <= row_window - 9``)
-and (b) horizontal displacement stays within ``+-128`` px (always true
-for images <= 384 px wide, where the column window spans the whole
-row).  Warps
-produced by this framework satisfy both by construction; arbitrary
-adversarial grids may not, which is one more reason the general entry
-point dispatches such cases to the XLA path.  Parity is validated in
-``tests/test_pallas_kernel.py`` (interpret mode, small shapes) and on
-real TPU by ``bench.py``.
+Exactness contract: equal to ``ops.grid_sample`` whenever vertical
+displacement is within ``+-BR`` rows (120 rows at video sizes, ~17% of
+720p height) and horizontal displacement within ``+-128`` px; taps
+beyond clamp to the window edge.  Stabilization warps satisfy this by
+construction; the general entry point dispatches anything that might
+not (see ``pallas_supported``) to the XLA path.  Parity:
+``tests/test_pallas_kernel.py`` (interpret mode) and the on-device
+``bench.py`` gate (measured max err 0.0 vs the oracle at every size).
 """
 
 from __future__ import annotations
@@ -59,64 +58,101 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-# 8 f32 sublanes per vreg: process 8 output rows per tile step.
-_TILE_ROWS = 8
+_TILE_ROWS = 8     # f32 sublanes per vreg
 _LANES = 128
-# Static column window: each 128-lane output chunk samples from itself
-# plus _COL_SPAN chunks on either side.
-_COL_SPAN = 1
-_WIN_W = (2 * _COL_SPAN + 1) * _LANES
+_COL_SPAN = 1      # column window: tile chunk +- _COL_SPAN chunks
+_MAX_BR = 144      # max row-block height
+_VMEM_BUDGET_BYTES = 100 * 1024 * 1024
 
-# v5e has 128 MB of VMEM; leave room for double-buffered blocks and
-# compiler temporaries.
-_VMEM_BUDGET_BYTES = 48 * 1024 * 1024
+
+def _row_block(h: int) -> int:
+    """Largest divisor of h that is a multiple of 8 and <= _MAX_BR."""
+    best = 0
+    for d in range(8, min(h, _MAX_BR) + 1, 8):
+        if h % d == 0:
+            best = d
+    return best
+
+
+def _vmem_bytes(h: int, w: int, c: int, itemsize: int) -> int:
+    br = _row_block(h)
+    if br == 0:
+        return 1 << 62
+    winb = min(3, h // br)
+    blocks = 2 * winb * c * br * w * itemsize     # double-buffered inputs
+    scratch = c * winb * br * w * 4               # f32 window
+    grid = 2 * 2 * br * w * 4
+    out = 2 * c * br * w * itemsize
+    return blocks + scratch + grid + out
 
 
 def pallas_supported(image_shape, image_dtype) -> bool:
-    """Whether the fused kernel's layout constraints hold for this case.
-
-    Requires H % 8 == 0, W % 128 == 0, and planar image + f32 grid +
-    output to fit the VMEM budget (the kernel keeps one batch element
-    fully resident).  Callers dispatch to the XLA path otherwise.
-    """
+    """Dispatch predicate: geometry + VMEM constraints for this kernel."""
     _, h, w, c = image_shape
     itemsize = jnp.dtype(image_dtype).itemsize
-    vmem = h * w * (2 * c * itemsize + 2 * 4)  # image + out + grid
-    return h % _TILE_ROWS == 0 and w % _LANES == 0 and vmem <= _VMEM_BUDGET_BYTES
+    return (
+        w % _LANES == 0
+        and _row_block(h) > 0
+        and _vmem_bytes(h, w, c, itemsize) <= _VMEM_BUDGET_BYTES
+    )
 
 
 def _sample_kernel(
-    image_ref,  # (1, C, H, W)  VMEM, planar
-    grid_ref,   # (1, 2, H, W)  VMEM, planar ([0]=x, [1]=y)
-    out_ref,    # (1, C, H, W)  VMEM, planar
-    *,
+    *refs,
     height: int,
     width: int,
     channels: int,
-    row_window: int,
+    block_rows: int,
+    win_blocks: int,
     padding_mode: str,
     align_corners: bool,
+    mode: str = "sample",
 ):
+    """Shared kernel body for the forward sample and the grid gradient.
+
+    mode == "sample": out[c] = bilinear(image, grid)
+    mode == "grad":   an extra input (the output cotangent, planar
+    (1, C, BR, W)) follows the grid block; the 2-channel output is
+    (d/dgx, d/dgy) of ``sum(cotangent * sample)`` — the custom-VJP
+    backward for the warp's flow input (image gradients are not
+    produced; see ``ops.warp.warp_image_fused``).
+    """
+    grid_ref = refs[win_blocks]
+    extra = 1 if mode == "grad" else 0
+    gout_ref = refs[win_blocks + 1] if mode == "grad" else None
+    out_ref = refs[win_blocks + 1 + extra]
+    win = refs[win_blocks + 2 + extra]  # scratch (C, win_blocks*BR, W) f32
+
     h, w = height, width
-    num_tiles = h // _TILE_ROWS
+    br = block_rows
+    nb = h // br
     num_chunks = w // _LANES
+    win_rows = win_blocks * br
+    t = pl.program_id(1)
+    # window start row (must match the shifted in_spec index maps)
+    s = jnp.clip(t - 1, 0, max(nb - win_blocks, 0))
+    ws = s * br
 
-    def tile_body(t, _):
-        r0 = t * _TILE_ROWS
+    # ---- assemble the contiguous window in scratch ----
+    for k in range(win_blocks):
+        for c in range(channels):
+            win[c, k * br : (k + 1) * br, :] = refs[k][0, c].astype(
+                jnp.float32
+            )
 
+    def subtile(st, _):
+        r0 = st * _TILE_ROWS
         for ock in range(num_chunks):
             c0 = ock * _LANES
             gx = grid_ref[0, 0, pl.ds(r0, _TILE_ROWS), c0 : c0 + _LANES]
             gy = grid_ref[0, 1, pl.ds(r0, _TILE_ROWS), c0 : c0 + _LANES]
 
-            # --- unnormalize to pixel coordinates (torch semantics) ---
             if align_corners:
                 x = (gx + 1.0) * 0.5 * (w - 1)
                 y = (gy + 1.0) * 0.5 * (h - 1)
             else:
                 x = ((gx + 1.0) * w - 1.0) * 0.5
                 y = ((gy + 1.0) * h - 1.0) * 0.5
-
             if padding_mode == "border":
                 x = jnp.clip(x, 0.0, w - 1)
                 y = jnp.clip(y, 0.0, h - 1)
@@ -142,54 +178,38 @@ def _sample_kernel(
                 w10 = jnp.where(vy1 & vx0, w10, 0.0)
                 w11 = jnp.where(vy1 & vx1, w11, 0.0)
 
-            # --- dynamic row-window base from this chunk's min source row
-            # (clip y0 first: zeros mode leaves it unbounded).  The base
-            # is rounded down to a sublane-aligned offset — Mosaic only
-            # supports aligned dynamic loads — costing up to 7 rows of
-            # window, hence the "spread <= row_window - 9" contract.
-            y0c = jnp.clip(y0, 0, h - 1)
-            yb = jnp.clip(jnp.min(y0c), 0, max(h - row_window, 0))
-            yb = pl.multiple_of((yb // _TILE_ROWS) * _TILE_ROWS, _TILE_ROWS)
-            # Lower bound -1, not 0: for y0 == -1 (zeros mode) the y0
-            # taps are dead (weight 0) but the y1 taps must still hit
-            # window row ly0 + 1 == 0.
-            ly0 = jnp.clip(y0 - yb, -1, row_window - 1)
+            # window-local tap rows; -1 keeps the y1 tap correct when
+            # y0 == -1 (zeros mode above the frame)
+            y0c = jnp.clip(y0, -1, h - 1)
+            ly0 = jnp.clip(y0c - ws, -1, win_rows - 1)
+            # data-dependent group sweep bounds
+            gmin = jnp.maximum(jnp.min(ly0), 0) // _TILE_ROWS
+            gmax = jnp.clip(jnp.max(ly0) + 1, 0, win_rows - 1) // _TILE_ROWS
 
-            # --- static column window: this chunk +- _COL_SPAN chunks --
-            cb = min(max(c0 - _COL_SPAN * _LANES, 0), max(w - _WIN_W, 0))
-            nseg = min(_WIN_W, w) // _LANES
+            # static column window around this chunk
+            cb = min(max(c0 - _COL_SPAN * _LANES, 0),
+                     max(w - (2 * _COL_SPAN + 1) * _LANES, 0))
+            nseg = min((2 * _COL_SPAN + 1) * _LANES, w) // _LANES
             lx0 = jnp.clip(x0 - cb, 0, nseg * _LANES - 1)
             lx1 = jnp.clip(x0 + 1 - cb, 0, nseg * _LANES - 1)
 
+            if mode == "grad":
+                dgx = jnp.zeros((_TILE_ROWS, _LANES), jnp.float32)
+                dgy = jnp.zeros((_TILE_ROWS, _LANES), jnp.float32)
+
             for c in range(channels):
-                # Select-accumulate sweep over the window rows in
-                # sublane-aligned groups of 8 (Mosaic requires aligned
-                # dynamic loads; a fori_loop keeps the live set bounded
-                # — a full python unroll blows scoped VMEM).  Within a
-                # group rows are extracted with static slices.
-                def group_step(wg, accs, c=c, ly0=ly0, lx0=lx0, lx1=lx1,
-                               yb=yb, cb=cb, nseg=nseg):
+                def group_step(g, accs, c=c):
                     a00, a01, a10, a11 = accs
-                    gb = pl.multiple_of(
-                        yb + wg * _TILE_ROWS, _TILE_ROWS
-                    )
-                    grps = [
-                        image_ref[
-                            0, c, pl.ds(gb, _TILE_ROWS),
-                            cb + sk * _LANES : cb + (sk + 1) * _LANES,
-                        ].astype(jnp.float32)
-                        for sk in range(nseg)
-                    ]
+                    gb = pl.multiple_of(g * _TILE_ROWS, _TILE_ROWS)
+                    grp = win[c, pl.ds(gb, _TILE_ROWS),
+                              cb : cb + nseg * _LANES]
                     for rr in range(_TILE_ROWS):
-                        r = wg * _TILE_ROWS + rr
-                        # Broadcast window row r to all 8 sublanes,
-                        # gather per-pixel columns segment by segment.
                         h0 = jnp.zeros((_TILE_ROWS, _LANES), jnp.float32)
                         h1 = jnp.zeros((_TILE_ROWS, _LANES), jnp.float32)
                         for sk in range(nseg):
                             base = sk * _LANES
                             seg = jax.lax.broadcast_in_dim(
-                                grps[sk][rr : rr + 1, :],
+                                grp[rr : rr + 1, base : base + _LANES],
                                 (_TILE_ROWS, _LANES),
                                 (0, 1),
                             )
@@ -201,7 +221,7 @@ def _sample_kernel(
                             in1 = (lx1 >= base) & (lx1 < base + _LANES)
                             h0 = jnp.where(in0, g0, h0)
                             h1 = jnp.where(in1, g1, h1)
-                        # tap rows: y0 hits window row r, y0+1 hits r-1
+                        r = g * _TILE_ROWS + rr
                         sel0 = ly0 == r
                         sel1 = ly0 == r - 1
                         a00 = jnp.where(sel0, h0, a00)
@@ -212,38 +232,70 @@ def _sample_kernel(
 
                 zeros = jnp.zeros((_TILE_ROWS, _LANES), jnp.float32)
                 a00, a01, a10, a11 = jax.lax.fori_loop(
-                    0,
-                    row_window // _TILE_ROWS,
-                    group_step,
-                    (zeros, zeros, zeros, zeros),
+                    gmin, gmax + 1, group_step, (zeros,) * 4
                 )
+                if mode == "sample":
+                    out = w00 * a00 + w01 * a01 + w10 * a10 + w11 * a11
+                    out_ref[0, c, pl.ds(r0, _TILE_ROWS),
+                            c0 : c0 + _LANES] = out.astype(out_ref.dtype)
+                else:
+                    # tap values masked by corner validity (zeros mode)
+                    if padding_mode == "zeros":
+                        a00 = jnp.where(vy0 & vx0, a00, 0.0)
+                        a01 = jnp.where(vy0 & vx1, a01, 0.0)
+                        a10 = jnp.where(vy1 & vx0, a10, 0.0)
+                        a11 = jnp.where(vy1 & vx1, a11, 0.0)
+                    gc = gout_ref[
+                        0, c, pl.ds(r0, _TILE_ROWS), c0 : c0 + _LANES
+                    ].astype(jnp.float32)
+                    dgx = dgx + gc * (
+                        (1.0 - fy) * (a01 - a00) + fy * (a11 - a10)
+                    )
+                    dgy = dgy + gc * (
+                        (1.0 - fx) * (a10 - a00) + fx * (a11 - a01)
+                    )
 
-                out = w00 * a00 + w01 * a01 + w10 * a10 + w11 * a11
-                out_ref[0, c, pl.ds(r0, _TILE_ROWS), c0 : c0 + _LANES] = (
-                    out.astype(out_ref.dtype)
+            if mode == "grad":
+                # chain rule through unnormalization (+ the border clip:
+                # zero where the coordinate was clamped)
+                if align_corners:
+                    sx, sy = 0.5 * (w - 1), 0.5 * (h - 1)
+                else:
+                    sx, sy = 0.5 * w, 0.5 * h
+                if padding_mode == "border":
+                    ux = (gx + 1.0) * 0.5 * (w - 1) if align_corners else (
+                        (gx + 1.0) * w - 1.0) * 0.5
+                    uy = (gy + 1.0) * 0.5 * (h - 1) if align_corners else (
+                        (gy + 1.0) * h - 1.0) * 0.5
+                    dgx = jnp.where((ux >= 0.0) & (ux <= w - 1), dgx, 0.0)
+                    dgy = jnp.where((uy >= 0.0) & (uy <= h - 1), dgy, 0.0)
+                out_ref[0, 0, pl.ds(r0, _TILE_ROWS), c0 : c0 + _LANES] = (
+                    dgx * sx
+                )
+                out_ref[0, 1, pl.ds(r0, _TILE_ROWS), c0 : c0 + _LANES] = (
+                    dgy * sy
                 )
         return 0
 
-    jax.lax.fori_loop(0, num_tiles, tile_body, 0, unroll=False)
+    jax.lax.fori_loop(0, br // _TILE_ROWS, subtile, 0)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("padding_mode", "align_corners", "row_window", "interpret"),
+    static_argnames=("padding_mode", "align_corners", "interpret"),
 )
 def grid_sample_pallas(
     image: Array,
     grid: Array,
     padding_mode: str = "border",
     align_corners: bool = True,
-    row_window: int = 32,
     interpret: bool = False,
 ) -> Array:
     """Bilinear grid sample via the fused Pallas kernel.
 
     Args/semantics match ``ops.grid_sample`` (bilinear only); image and
     grid are NHWC like the rest of the framework.  See the module
-    docstring for the locality contract and dispatch policy.
+    docstring for the displacement contract and dispatch policy.
     """
     b, h, w, c = image.shape
     if grid.shape != (b, h, w, 2):
@@ -253,44 +305,142 @@ def grid_sample_pallas(
         )
     if padding_mode not in ("border", "zeros"):
         raise ValueError("pallas kernel supports border/zeros padding")
-    if h % _TILE_ROWS or w % _LANES:
+    br = _row_block(h)
+    if w % _LANES or br == 0:
         raise ValueError(
-            f"pallas kernel requires H%{_TILE_ROWS}==0 and W%{_LANES}==0; "
-            f"got ({h}, {w}) — use ops.grid_sample (see pallas_supported)"
+            f"pallas kernel requires W%{_LANES}==0 and a row-block "
+            f"divisor of H; got ({h}, {w}) — use ops.grid_sample "
+            "(see pallas_supported)"
         )
+    nb = h // br
+    winb = min(3, nb)
 
     kernel = functools.partial(
         _sample_kernel,
         height=h,
         width=w,
         channels=c,
-        row_window=row_window,
+        block_rows=br,
+        win_blocks=winb,
         padding_mode=padding_mode,
         align_corners=align_corners,
     )
-    # Planar layout inside the kernel: W on the 128-lane minor dim.
+
+    def shifted(k):
+        def index_map(bi, ti):
+            s = jnp.clip(ti - 1, 0, max(nb - winb, 0))
+            return (bi, 0, s + k, 0)
+
+        return pl.BlockSpec(
+            (1, c, br, w), index_map, memory_space=pltpu.VMEM
+        )
+
+    in_specs = [shifted(k) for k in range(winb)]
+    in_specs.append(
+        pl.BlockSpec(
+            (1, 2, br, w), lambda bi, ti: (bi, 0, ti, 0),
+            memory_space=pltpu.VMEM,
+        )
+    )
+
     image_p = jnp.moveaxis(image, -1, 1)
     grid_p = jnp.moveaxis(grid.astype(jnp.float32), -1, 1)
     out_p = pl.pallas_call(
         kernel,
-        grid=(b,),
-        compiler_params=pltpu.CompilerParams(
-            # default scoped limit is 16 MB; v5e has 128 MB of VMEM and
-            # one resident 720p frame + grid + output needs ~30 MB
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        in_specs=[
-            pl.BlockSpec(
-                (1, c, h, w), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, 2, h, w), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
+        grid=(b, nb),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, c, h, w), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            (1, c, br, w), lambda bi, ti: (bi, 0, ti, 0),
+            memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((b, c, h, w), image.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((c, winb * br, w), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_BUDGET_BYTES,
+        ),
         interpret=interpret,
-    )(image_p, grid_p)
+    )(*([image_p] * winb), grid_p)
+    return jnp.moveaxis(out_p, 1, -1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("padding_mode", "align_corners", "interpret"),
+)
+def grid_sample_grad_pallas(
+    image: Array,
+    grid: Array,
+    cotangent: Array,
+    padding_mode: str = "border",
+    align_corners: bool = True,
+    interpret: bool = False,
+) -> Array:
+    """Gradient of ``sum(cotangent * grid_sample(image, grid))`` w.r.t.
+    ``grid`` — the custom-VJP backward used by
+    ``ops.warp.warp_image_fused`` (torch ``grid_sampler_2d_backward``
+    gGrid semantics, incl. zero gradients through border clamping).
+    Returns an NHWC ``(B, H, W, 2)`` array.
+    """
+    b, h, w, c = image.shape
+    br = _row_block(h)
+    nb = h // br
+    winb = min(3, nb)
+
+    kernel = functools.partial(
+        _sample_kernel,
+        height=h,
+        width=w,
+        channels=c,
+        block_rows=br,
+        win_blocks=winb,
+        padding_mode=padding_mode,
+        align_corners=align_corners,
+        mode="grad",
+    )
+
+    def shifted(k):
+        def index_map(bi, ti):
+            s = jnp.clip(ti - 1, 0, max(nb - winb, 0))
+            return (bi, 0, s + k, 0)
+
+        return pl.BlockSpec(
+            (1, c, br, w), index_map, memory_space=pltpu.VMEM
+        )
+
+    in_specs = [shifted(k) for k in range(winb)]
+    in_specs.append(
+        pl.BlockSpec(
+            (1, 2, br, w), lambda bi, ti: (bi, 0, ti, 0),
+            memory_space=pltpu.VMEM,
+        )
+    )
+    in_specs.append(
+        pl.BlockSpec(
+            (1, c, br, w), lambda bi, ti: (bi, 0, ti, 0),
+            memory_space=pltpu.VMEM,
+        )
+    )
+
+    image_p = jnp.moveaxis(image, -1, 1)
+    grid_p = jnp.moveaxis(grid.astype(jnp.float32), -1, 1)
+    ct_p = jnp.moveaxis(cotangent, -1, 1)
+    out_p = pl.pallas_call(
+        kernel,
+        grid=(b, nb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 2, br, w), lambda bi, ti: (bi, 0, ti, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 2, h, w), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((c, winb * br, w), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_BUDGET_BYTES,
+        ),
+        interpret=interpret,
+    )(*([image_p] * winb), grid_p, ct_p)
     return jnp.moveaxis(out_p, 1, -1)

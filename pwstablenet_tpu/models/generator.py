@@ -23,7 +23,7 @@ from flax import linen as nn
 
 from pwstablenet_tpu.config import ModelConfig
 from pwstablenet_tpu.models.unet import StageUNet
-from pwstablenet_tpu.ops.warp import warp_image
+from pwstablenet_tpu.ops.warp import warp_image_fused
 
 
 class CascadedGenerator(nn.Module):
@@ -55,12 +55,11 @@ class CascadedGenerator(nn.Module):
             flows.append(flow)
             if s + 1 < cfg.num_stages and cfg.interstage in ("warped", "both"):
                 center = self.center_frame(stack)
-                warped = warp_image(
+                warped = warp_image_fused(
                     center.astype(jnp.float32),
                     flow,
                     padding_mode=cfg.padding_mode,
                     align_corners=cfg.align_corners,
-                    use_pallas=False,  # stays differentiable / fusible
                 )
                 x = jnp.concatenate(
                     [stack, warped.astype(stack.dtype), flow.astype(stack.dtype)],

@@ -4,4 +4,5 @@ from pwstablenet_tpu.ops.warp import (  # noqa: F401
     identity_grid,
     resize_flow,
     warp_image,
+    warp_image_fused,
 )

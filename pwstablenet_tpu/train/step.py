@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from pwstablenet_tpu.config import ModelConfig, TrainConfig
-from pwstablenet_tpu.ops.warp import warp_image
+from pwstablenet_tpu.ops.warp import warp_image_fused
 from pwstablenet_tpu.train import losses
 from pwstablenet_tpu.train.state import TrainState, make_optimizers
 
@@ -49,13 +49,13 @@ def make_train_step(
     g_tx, d_tx = make_optimizers(train_cfg)
 
     def warp_stages(flows, center):
+        # fused Pallas forward+backward (flow gradients; frames are data)
         return [
-            warp_image(
+            warp_image_fused(
                 center,
                 f,
                 padding_mode=model_cfg.padding_mode,
                 align_corners=model_cfg.align_corners,
-                use_pallas=False,  # differentiable XLA path inside the step
             )
             for f in flows
         ]
