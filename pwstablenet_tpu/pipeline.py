@@ -129,26 +129,51 @@ class Stabilizer:
         """
         cfg = self.pipeline_cfg
         chunk = max(cfg.batch_windows, 1)
-        frames_iter = video_io.iter_video(input_path, chunk)
-        if max_frames > 0:
-            frames_iter = _limit_frames(frames_iter, max_frames)
 
-        import cv2  # probe fps/size cheaply
+        # Prefer the native C++ decode/encode runtime (its decode thread
+        # + bounded queue replaces the Python prefetcher); fall back to
+        # the pure-Python OpenCV path.
+        from pwstablenet_tpu.data import native_io
 
-        cap = cv2.VideoCapture(input_path)
-        fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
-        h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
-        w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
-        cap.release()
+        decoder = None
+        if native_io.available():
+            try:
+                decoder = native_io.NativeDecoder(
+                    input_path, chunk_frames=chunk,
+                    queue_depth=cfg.prefetch_depth,
+                )
+            except Exception:
+                decoder = None
+        if decoder is not None:
+            fps, h, w = decoder.fps, decoder.height, decoder.width
+            frames_iter = iter(decoder)
+            if max_frames > 0:
+                frames_iter = _limit_frames(frames_iter, max_frames)
+            writer = native_io.NativeEncoder(
+                output_path, fps, (h, w), cfg.output_codec
+            )
+        else:
+            frames_iter = video_io.iter_video(input_path, chunk)
+            if max_frames > 0:
+                frames_iter = _limit_frames(frames_iter, max_frames)
 
-        writer = video_io.VideoWriterStream(
-            output_path, fps, (h, w), cfg.output_codec
-        )
+            import cv2  # probe fps/size cheaply
+
+            cap = cv2.VideoCapture(input_path)
+            fps = cap.get(cv2.CAP_PROP_FPS) or 30.0
+            h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+            w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+            cap.release()
+            frames_iter = video_io.Prefetcher(frames_iter, cfg.prefetch_depth)
+            writer = video_io.VideoWriterStream(
+                output_path, fps, (h, w), cfg.output_codec
+            )
+
         all_flows = []
         count = 0
         try:
             for stabilized, flow in self._stream(
-                video_io.Prefetcher(frames_iter, cfg.prefetch_depth),
+                frames_iter,
                 cfg.batch_windows,
             ):
                 stabilized = self._border_crop(stabilized)
