@@ -47,9 +47,10 @@ class CascadedGenerator(nn.Module):
         feats = None
         for s in range(cfg.num_stages):
             extra = feats if (s > 0 and cfg.interstage in ("features", "both")) else None
-            flow, feats = StageUNet(cfg, name=f"stage{s}")(
-                x, extra_skips=extra, deterministic=deterministic
-            )
+            with jax.named_scope(f"cascade_stage{s}"):
+                flow, feats = StageUNet(cfg, name=f"stage{s}")(
+                    x, extra_skips=extra, deterministic=deterministic
+                )
             if s > 0:
                 flow = flows[-1] + flow  # residual refinement
             flows.append(flow)

@@ -49,10 +49,23 @@ class Stabilizer:
         pipeline_cfg: Optional[PipelineConfig] = None,
         params=None,
         seed: int = 0,
+        mesh=None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` for clip-sharded
+        inference — the chunk's temporal windows are sharded over the
+        mesh's data axis (SURVEY.md section 5.7: the TPU-idiomatic
+        scaling axis for video inference; devices need no exchange
+        because windows are independent after halo stacking).
+        ``batch_windows`` must be divisible by the mesh size."""
         self.model_cfg = model_cfg or ModelConfig()
         self.pipeline_cfg = pipeline_cfg or PipelineConfig()
         self.model = CascadedGenerator(self.model_cfg)
+        self.mesh = mesh
+        if mesh is not None and self.pipeline_cfg.batch_windows % mesh.size:
+            raise ValueError(
+                f"batch_windows ({self.pipeline_cfg.batch_windows}) must "
+                f"be divisible by the mesh size ({mesh.size})"
+            )
         if params is None:
             h, w = self.model_cfg.model_resolution
             x = jnp.zeros((1, h, w, self.model_cfg.stack_channels))
@@ -67,31 +80,41 @@ class Stabilizer:
         cfg = self.model_cfg
         mh, mw = cfg.model_resolution
         T = cfg.temporal_window
+        mesh = self.mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            shard = NamedSharding(mesh, PartitionSpec(mesh.axis_names[0]))
 
         @functools.partial(jax.jit, static_argnames=("use_pallas",))
         def step(params, frames, use_pallas):
             n = frames.shape[0] - (T - 1)
-            # device-side resize to model resolution
-            small = jax.image.resize(
-                frames,
-                (frames.shape[0], mh, mw, frames.shape[-1]),
-                method="bilinear",
-            )
+            with jax.named_scope("preprocess_resize"):
+                small = jax.image.resize(
+                    frames,
+                    (frames.shape[0], mh, mw, frames.shape[-1]),
+                    method="bilinear",
+                )
             # temporal stacking with static slices: window j contributes
             # frames [j, j+n)
-            stacks = jnp.concatenate(
-                [small[j : j + n] for j in range(T)], axis=-1
-            )
+            with jax.named_scope("temporal_stack"):
+                stacks = jnp.concatenate(
+                    [small[j : j + n] for j in range(T)], axis=-1
+                )
+            if mesh is not None:
+                # clip-sharded inference: windows split over the mesh
+                stacks = jax.lax.with_sharding_constraint(stacks, shard)
             flows = self.model.apply(params, stacks)
             flow = flows[-1]  # final cascade stage
             centers = frames[T // 2 : T // 2 + n]
-            stabilized = warp_image(
-                centers,
-                flow,
-                padding_mode=cfg.padding_mode,
-                align_corners=cfg.align_corners,
-                use_pallas=use_pallas,
-            )
+            with jax.named_scope("fused_warp"):
+                stabilized = warp_image(
+                    centers,
+                    flow,
+                    padding_mode=cfg.padding_mode,
+                    align_corners=cfg.align_corners,
+                    use_pallas=use_pallas,
+                )
             return stabilized, flow
 
         return step

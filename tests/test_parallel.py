@@ -95,3 +95,47 @@ def test_multi_step_sharded_run():
         state, metrics = p_step(state, batch)
         assert np.isfinite(float(metrics["loss_g"]))
     assert int(state.step) == 3
+
+
+def test_clip_sharded_inference_matches_single_device():
+    """Clip-sharded inference (SURVEY.md section 5.7): window batches
+    sharded over the mesh produce identical stabilized output."""
+    from pwstablenet_tpu.config import PipelineConfig
+    from pwstablenet_tpu.data.synthetic import synthetic_pair_clip
+    from pwstablenet_tpu.pipeline import Stabilizer
+
+    cfg = ModelConfig(
+        temporal_window=3,
+        num_levels=4,
+        base_features=8,
+        max_features=16,
+        model_resolution=(32, 32),
+        num_stages=2,
+        compute_dtype="float32",
+    )
+    _, clip = synthetic_pair_clip(16, 48, 64, seed=11)
+
+    single = Stabilizer(cfg, PipelineConfig(batch_windows=8))
+    out_s, flow_s = single.stabilize_frames(clip)
+
+    mesh = make_mesh()
+    sharded = Stabilizer(
+        cfg, PipelineConfig(batch_windows=8),
+        params=single.params, mesh=mesh,
+    )
+    out_m, flow_m = sharded.stabilize_frames(clip)
+    np.testing.assert_allclose(out_m, out_s, atol=1e-5)
+    np.testing.assert_allclose(flow_m, flow_s, atol=1e-6)
+
+
+def test_clip_sharded_requires_divisible_batch():
+    from pwstablenet_tpu.config import PipelineConfig
+    from pwstablenet_tpu.pipeline import Stabilizer
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divisible"):
+        Stabilizer(
+            ModelConfig(num_levels=3, model_resolution=(16, 16)),
+            PipelineConfig(batch_windows=3),
+            mesh=make_mesh(),
+        )
