@@ -223,15 +223,31 @@ class Stabilizer:
         Maintains a halo of ``temporal_window - 1`` frames between
         chunks so every output frame sees its full temporal context;
         the clip edges are replicate-padded.
+
+        Device dispatch is ASYNC with a bounded in-flight queue: chunk
+        i+k is dispatched while chunk i's results transfer back, so
+        device compute, host decode and D2H overlap (this also hides
+        per-dispatch link latency on remote-attached TPUs).
         """
         cfg = self.model_cfg
         T = cfg.temporal_window
         half = T // 2
         n = batch_windows or self.pipeline_cfg.batch_windows
+        depth = max(self.pipeline_cfg.prefetch_depth, 1) + 1
+
+        inflight: list = []
+
+        def drain(limit: int):
+            while len(inflight) > limit:
+                stab, flow, pad = inflight.pop(0)
+                stab = np.asarray(stab)
+                flow = np.asarray(flow)
+                if pad:
+                    stab, flow = stab[:-pad], flow[:-pad]
+                yield stab, flow
 
         carry: Optional[np.ndarray] = None  # trailing T-1 frames
         first = True
-        pending: Optional[np.ndarray] = None
         for chunk in chunks:
             if first:
                 lead = np.repeat(chunk[:1], half, axis=0)
@@ -239,25 +255,30 @@ class Stabilizer:
                 first = False
             if carry is not None:
                 chunk = np.concatenate([carry, chunk])
-            # process all complete windows, keep the tail as carry
+            # dispatch all complete windows, keep the tail as carry
             while chunk.shape[0] >= n + T - 1:
-                yield self._run_chunk(chunk[: n + T - 1])
+                inflight.append(self._dispatch_chunk(chunk[: n + T - 1]))
+                yield from drain(depth)
                 chunk = chunk[n:]
             carry = chunk
-        if carry is None:
-            return
-        # flush: replicate-pad the end, then emit remaining windows
-        tail = np.repeat(carry[-1:], half, axis=0)
-        buf = np.concatenate([carry, tail])
-        while buf.shape[0] >= T:
-            m = buf.shape[0] - (T - 1)  # windows remaining
-            take = min(n, m)
-            yield self._run_chunk(buf[: take + T - 1], allow_short=True)
-            buf = buf[take:]
+        if carry is not None:
+            # flush: replicate-pad the end, then emit remaining windows
+            tail = np.repeat(carry[-1:], half, axis=0)
+            buf = np.concatenate([carry, tail])
+            while buf.shape[0] >= T:
+                m = buf.shape[0] - (T - 1)  # windows remaining
+                take = min(n, m)
+                inflight.append(
+                    self._dispatch_chunk(
+                        buf[: take + T - 1], allow_short=True
+                    )
+                )
+                yield from drain(depth)
+                buf = buf[take:]
+        yield from drain(0)
 
-    def _run_chunk(
-        self, frames: np.ndarray, allow_short: bool = False
-    ) -> Tuple[np.ndarray, np.ndarray]:
+    def _dispatch_chunk(self, frames: np.ndarray, allow_short: bool = False):
+        """Async device dispatch; returns (stab_dev, flow_dev, pad)."""
         cfg = self.model_cfg
         T = cfg.temporal_window
         n_target = self.pipeline_cfg.batch_windows
@@ -275,12 +296,7 @@ class Stabilizer:
         stabilized, flow = self._chunk_step(
             self.params, jnp.asarray(frames), use_pallas
         )
-        stabilized = np.asarray(stabilized)
-        flow = np.asarray(flow)
-        if pad:
-            stabilized = stabilized[:-pad]
-            flow = flow[:-pad]
-        return stabilized, flow
+        return stabilized, flow, pad
 
     def _pallas_ok(self, frames_shape) -> bool:
         if jax.default_backend() != "tpu":
