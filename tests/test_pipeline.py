@@ -46,7 +46,7 @@ def test_untrained_model_is_identity_warp(clip):
     np.testing.assert_allclose(flows, 0.0, atol=1e-6)
 
 
-@pytest.mark.parametrize("batch_windows", [3, 8, 32])
+@pytest.mark.parametrize("batch_windows", [3, 32])
 def test_frame_count_preserved_across_chunkings(clip, batch_windows):
     stab = Stabilizer(SMALL, PipelineConfig(batch_windows=batch_windows))
     out, flows = stab.stabilize_frames(clip)

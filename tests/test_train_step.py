@@ -68,7 +68,7 @@ def test_single_step_finite(setup):
 def test_loss_decreases_over_steps(setup):
     state, step, batch = setup
     first_pixel, last_pixel = None, None
-    for i in range(8):
+    for i in range(5):
         state, metrics = step(state, batch)
         if i == 0:
             first_pixel = float(metrics["pixel"])
