@@ -41,11 +41,38 @@ class InstanceNorm(nn.Module):
         return (y * scale + bias).astype(self.dtype)
 
 
+class BatchNorm(nn.Module):
+    """Stats-free batch normalization (per-channel over batch+space).
+
+    Pix2pix-style GANs use batch statistics at train AND test time, so
+    no running averages are kept — this stays a pure function (no
+    mutable collections through the jitted train step).  Under data
+    parallelism the reduction is over the GLOBAL batch: the batch axis
+    is sharded, and XLA's SPMD partitioner turns the mean into a
+    cross-device collective automatically.
+    """
+
+    dtype: Dtype = jnp.bfloat16
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mu = jnp.mean(xf, axis=(0, 1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(xf - mu), axis=(0, 1, 2), keepdims=True)
+        y = (xf - mu) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(self.dtype)
+
+
 def make_norm(kind: str, dtype: Dtype, name: Optional[str] = None):
     """Normalization factory: batch | instance | group | none.
 
     Instance norm is the default for the GAN (per-sample statistics, no
-    cross-device sync needed in the data-parallel train step)."""
+    cross-device sync needed in the data-parallel train step); batch
+    norm uses global batch statistics (collective under sharding)."""
     if kind == "none":
         return lambda x: x
     if kind == "instance":
@@ -53,9 +80,7 @@ def make_norm(kind: str, dtype: Dtype, name: Optional[str] = None):
     if kind == "group":
         return nn.GroupNorm(num_groups=8, dtype=dtype, name=name)
     if kind == "batch":
-        return nn.BatchNorm(
-            use_running_average=False, dtype=dtype, name=name
-        )
+        return BatchNorm(dtype=dtype, name=name)
     raise ValueError(f"unknown norm kind {kind!r}")
 
 

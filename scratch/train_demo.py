@@ -1,0 +1,50 @@
+"""End-to-end training demo on TPU: train on synthetic DeepStab-like
+pairs, then verify the trained model actually stabilizes a held-out
+clip (stability metrics before/after)."""
+import json, time
+import numpy as np, jax, jax.numpy as jnp
+from pwstablenet_tpu.config import ModelConfig, TrainConfig, PipelineConfig
+from pwstablenet_tpu.data import make_train_batch
+from pwstablenet_tpu.data.synthetic import synthetic_pair_clip
+from pwstablenet_tpu.train import create_train_state, make_train_step
+from pwstablenet_tpu.train import checkpoint as ckpt
+
+model_cfg = ModelConfig()
+train_cfg = TrainConfig(batch_size=8, num_epochs=1, steps_per_epoch=600,
+                        w_feature=1.0)
+state, (gen, disc, feat) = create_train_state(model_cfg, train_cfg, jax.random.PRNGKey(0))
+step = jax.jit(make_train_step(model_cfg, train_cfg, gen, disc, feat))
+
+print("pre-generating batches...", flush=True)
+t0 = time.time()
+batches = [
+    jax.tree_util.tree_map(jnp.asarray,
+        make_train_batch(8, 256, 256, model_cfg.temporal_window, seed=i))
+    for i in range(24)
+]
+print(f"batch pool ready in {time.time()-t0:.0f}s", flush=True)
+
+t0 = time.time()
+for i in range(600):
+    state, metrics = step(state, batches[i % len(batches)])
+    if i % 50 == 0 or i == 599:
+        m = {k: round(float(v), 4) for k, v in metrics.items()}
+        m["step"] = i
+        m["elapsed"] = round(time.time() - t0, 1)
+        print(json.dumps(m), flush=True)
+
+ckpt.save_params("/root/repo/scratch/demo_params", state.g_params)
+print("params saved", flush=True)
+
+# ---- held-out evaluation ----
+from pwstablenet_tpu.pipeline import Stabilizer
+from pwstablenet_tpu.eval import stability_report
+
+stable, unstable = synthetic_pair_clip(60, 480, 832, seed=777, shake_px=7.0)
+stab = Stabilizer(model_cfg, PipelineConfig(batch_windows=8), params=state.g_params)
+out, flows = stab.stabilize_frames(unstable)
+rep = stability_report(out, unstable)
+rep["gt_stable_score"] = stability_report(stable)["stability_score"]
+rep["mean_abs_flow_px"] = float(np.abs(flows).mean() * 416)
+print("EVAL " + json.dumps({k: round(v, 4) for k, v in rep.items()}), flush=True)
+print("DONE", flush=True)

@@ -120,3 +120,23 @@ def test_generator_is_jittable_and_differentiable():
     g = jax.grad(loss_fn)(params, x)
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+@pytest.mark.parametrize("norm", ["batch", "group", "none"])
+def test_norm_variants_forward_and_grad(norm):
+    import dataclasses
+
+    cfg = dataclasses.replace(SMALL, norm=norm)
+    x = _stack(cfg)
+    model = CascadedGenerator(cfg)
+    params = model.init(jax.random.PRNGKey(0), x)
+
+    @jax.jit
+    def loss(p, x):
+        return sum(jnp.mean(f**2) for f in model.apply(p, x))
+
+    g = jax.grad(loss)(params, x)
+    assert all(
+        np.isfinite(np.asarray(l)).all()
+        for l in jax.tree_util.tree_leaves(g)
+    )
