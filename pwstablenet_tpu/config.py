@@ -65,6 +65,20 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"   # activations inside the network
     param_dtype: str = "float32"
 
+    def __post_init__(self):
+        if self.temporal_window % 2 == 0 or self.temporal_window < 1:
+            raise ValueError(
+                f"temporal_window must be odd and >= 1, got "
+                f"{self.temporal_window} (center frame + symmetric "
+                "neighbors)"
+            )
+        h, w = self.model_resolution
+        if h % (2**self.num_levels) or w % (2**self.num_levels):
+            raise ValueError(
+                f"model_resolution {self.model_resolution} must be "
+                f"divisible by 2^num_levels ({2**self.num_levels})"
+            )
+
     @property
     def stack_channels(self) -> int:
         return self.temporal_window * self.in_channels

@@ -48,6 +48,9 @@ def train(
     log_fn: Optional[Callable[[dict], None]] = None,
 ):
     """Run adversarial training; returns the final TrainState."""
+    if train_cfg.debug_nans:
+        # SURVEY.md section 5.2: NaN hunts in GAN training
+        jax.config.update("jax_debug_nans", True)
     state, (gen, disc, feat) = create_train_state(
         model_cfg, train_cfg, jax.random.PRNGKey(train_cfg.seed)
     )

@@ -140,3 +140,12 @@ def test_norm_variants_forward_and_grad(norm):
         np.isfinite(np.asarray(l)).all()
         for l in jax.tree_util.tree_leaves(g)
     )
+
+
+def test_config_validation():
+    import dataclasses
+
+    with pytest.raises(ValueError, match="odd"):
+        ModelConfig(temporal_window=4)
+    with pytest.raises(ValueError, match="divisible"):
+        ModelConfig(model_resolution=(100, 100))
