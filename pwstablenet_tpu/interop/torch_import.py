@@ -82,6 +82,63 @@ def torch_state_dict_to_flax(state_dict, cfg) -> Dict:
     return {"params": params}
 
 
+def feat_state_dict_to_flax(state_dict, cfg) -> Dict:
+    """Convert a ``TorchFeatureExtractor`` state_dict (SURVEY.md C12/N-3)
+    to the Flax parameter pytree of ``models.FeatureExtractor``."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params: Dict = {}
+    for i in range(len(cfg.feat_channels)):
+        params[f"conv{i}a"] = {
+            "kernel": _conv_w(sd[f"convs.{2 * i}.weight"]),
+            "bias": sd[f"convs.{2 * i}.bias"],
+        }
+        params[f"conv{i}b"] = {
+            "kernel": _conv_w(sd[f"convs.{2 * i + 1}.weight"]),
+            "bias": sd[f"convs.{2 * i + 1}.bias"],
+        }
+    return {"params": params}
+
+
+def torchvision_vgg_to_flax(vgg_state_dict, cfg) -> Dict:
+    """Convert the leading conv blocks of a torchvision VGG ``features``
+    state_dict (keys ``features.N.weight/bias``) to the Flax
+    ``FeatureExtractor`` pytree (SURVEY.md N-3 pretrained-import path).
+
+    The extractor has exactly two 3x3 convs per scale, matching VGG's
+    first two blocks; with ``feat_channels=(64, 128)`` (VGG block
+    widths) a real torchvision VGG16/19 checkpoint imports losslessly.
+    Conv layers are consumed in ``features.N`` order, two per scale;
+    a shape mismatch (e.g. asking for more scales than two-conv blocks)
+    raises rather than silently mis-mapping.
+    """
+    convs = sorted(
+        (
+            int(k.split(".")[1])
+            for k in vgg_state_dict
+            if k.startswith("features.") and k.endswith(".weight")
+        )
+    )
+    params: Dict = {}
+    ch = cfg.in_channels
+    for i, f in enumerate(cfg.feat_channels):
+        for tag, idx in (("a", convs[2 * i]), ("b", convs[2 * i + 1])):
+            w = np.asarray(vgg_state_dict[f"features.{idx}.weight"])
+            expect_in = ch if tag == "a" else f
+            if w.shape != (f, expect_in, 3, 3):
+                raise ValueError(
+                    f"VGG conv features.{idx} has shape {w.shape}; "
+                    f"feat_channels={cfg.feat_channels} expects "
+                    f"({f}, {expect_in}, 3, 3) at scale {i}{tag} — use "
+                    "VGG block widths, e.g. feat_channels=(64, 128)"
+                )
+            params[f"conv{i}{tag}"] = {
+                "kernel": _conv_w(w),
+                "bias": np.asarray(vgg_state_dict[f"features.{idx}.bias"]),
+            }
+        ch = f
+    return {"params": params}
+
+
 def load_torch_checkpoint(path: str, cfg):
     """Load a ``.pth``/``.pt`` file (a state_dict or a dict containing
     one) and convert."""

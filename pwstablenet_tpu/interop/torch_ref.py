@@ -112,6 +112,31 @@ class TorchStageUNet(nn.Module):
         return flow, dec_feats
 
 
+class TorchFeatureExtractor(nn.Module):
+    """Mirror of ``models.features.FeatureExtractor`` (NCHW): a VGG-style
+    conv pyramid — two 3x3 conv+ReLU per scale, 2x2 average pool between
+    scales, feature maps returned at every scale."""
+
+    def __init__(self, cfg: ModelConfig):
+        super().__init__()
+        convs = []
+        ch = cfg.in_channels
+        for f in cfg.feat_channels:
+            convs.append(nn.Conv2d(ch, f, 3, 1, 1))
+            convs.append(nn.Conv2d(f, f, 3, 1, 1))
+            ch = f
+        self.convs = nn.ModuleList(convs)
+
+    def forward(self, x):
+        outs = []
+        for i in range(0, len(self.convs), 2):
+            x = F.relu(self.convs[i](x))
+            x = F.relu(self.convs[i + 1](x))
+            outs.append(x)
+            x = F.avg_pool2d(x, 2, 2)
+        return outs
+
+
 def _torch_grid_sample_warp(frame, flow, cfg: ModelConfig):
     """Warp with the same normalized-displacement convention (NCHW)."""
     n, _, h, w = frame.shape

@@ -8,8 +8,13 @@ VGG-style conv pyramid that can run in two modes:
 - randomly initialized and FROZEN (a documented deviation: random conv
   features are a known-serviceable perceptual metric — distances in a
   random deep feature space still correlate with structural similarity);
-- loaded from converted torchvision weights via ``interop.torch_import``
-  whenever a checkpoint is available, restoring exact reference parity.
+- loaded from converted weights via ``interop.feat_state_dict_to_flax``
+  (a ``TorchFeatureExtractor`` state_dict) or
+  ``interop.torchvision_vgg_to_flax`` (the leading conv blocks of a real
+  torchvision VGG ``features`` checkpoint, with VGG block widths
+  ``feat_channels=(64, 128)``) whenever one is available, restoring
+  exact reference parity.  Both mappings are locked by
+  ``tests/test_torch_parity.py``.
 
 Feature maps from each scale are returned so the loss can weight them.
 """

@@ -73,6 +73,81 @@ def test_cascade_parity(interstage):
         np.testing.assert_allclose(ff, tf, atol=5e-4)
 
 
+def test_feature_extractor_parity():
+    """Feature-extractor import (SURVEY.md C12/N-3): torch mirror ->
+    feat_state_dict_to_flax -> identical per-scale feature maps."""
+    from pwstablenet_tpu.interop import feat_state_dict_to_flax
+    from pwstablenet_tpu.interop.torch_ref import TorchFeatureExtractor
+    from pwstablenet_tpu.models import FeatureExtractor
+
+    cfg = SMALL
+    tfeat = TorchFeatureExtractor(cfg)
+    torch.manual_seed(7)
+    for m in tfeat.modules():
+        if isinstance(m, torch.nn.Conv2d):
+            torch.nn.init.normal_(m.weight, std=0.05)
+            torch.nn.init.normal_(m.bias, std=0.02)
+
+    params = feat_state_dict_to_flax(tfeat.state_dict(), cfg)
+    ffeat = FeatureExtractor(cfg)
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2, 32, 32, cfg.in_channels)).astype(np.float32)
+    with torch.no_grad():
+        touts = tfeat(torch.from_numpy(x).permute(0, 3, 1, 2))
+    fouts = ffeat.apply(params, jnp.asarray(x))
+    assert len(fouts) == len(touts) == len(cfg.feat_channels)
+    for fo, to in zip(fouts, touts):
+        np.testing.assert_allclose(
+            np.asarray(fo), to.permute(0, 2, 3, 1).numpy(), atol=1e-5
+        )
+
+
+def test_torchvision_vgg_import():
+    """A VGG-features-shaped state_dict (torchvision key layout,
+    block widths 64/128) imports losslessly; wrong widths raise."""
+    from pwstablenet_tpu.interop import torchvision_vgg_to_flax
+    from pwstablenet_tpu.models import FeatureExtractor
+
+    cfg = dataclasses.replace(SMALL, feat_channels=(64, 128))
+    # Build a synthetic state_dict with torchvision VGG16 'features.N'
+    # indices and shapes (offline stand-in for the real checkpoint).
+    gen = torch.Generator().manual_seed(3)
+    shapes = {0: (64, 3), 2: (64, 64), 5: (128, 64), 7: (128, 128)}
+    sd = {}
+    for idx, (o, i) in shapes.items():
+        sd[f"features.{idx}.weight"] = (
+            torch.randn(o, i, 3, 3, generator=gen) * 0.05
+        )
+        sd[f"features.{idx}.bias"] = torch.randn(o, generator=gen) * 0.02
+
+    params = torchvision_vgg_to_flax(sd, cfg)
+    # parity against the torch mirror loaded with the same weights
+    from pwstablenet_tpu.interop.torch_ref import TorchFeatureExtractor
+
+    tfeat = TorchFeatureExtractor(cfg)
+    with torch.no_grad():
+        for j, idx in enumerate([0, 2, 5, 7]):
+            tfeat.convs[j].weight.copy_(sd[f"features.{idx}.weight"])
+            tfeat.convs[j].bias.copy_(sd[f"features.{idx}.bias"])
+    x = np.random.default_rng(3).standard_normal((1, 32, 32, 3)).astype(
+        np.float32
+    )
+    with torch.no_grad():
+        touts = tfeat(torch.from_numpy(x).permute(0, 3, 1, 2))
+    fouts = FeatureExtractor(cfg).apply(params, jnp.asarray(x))
+    for fo, to in zip(fouts, touts):
+        np.testing.assert_allclose(
+            np.asarray(fo), to.permute(0, 2, 3, 1).numpy(),
+            rtol=1e-5, atol=1e-3,
+        )
+
+    with pytest.raises(ValueError, match="VGG conv"):
+        torchvision_vgg_to_flax(
+            sd, dataclasses.replace(SMALL, feat_channels=(32, 64))
+        )
+
+
 def test_converted_checkpoint_roundtrip(tmp_path):
     """Full checkpoint flow: torch.save -> load_torch_checkpoint."""
     from pwstablenet_tpu.interop import load_torch_checkpoint
