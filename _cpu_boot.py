@@ -31,6 +31,16 @@ def pytest_load_initial_conftests(early_config, parser, args):
     env[_SENTINEL] = "1"
     env["JAX_PLATFORMS"] = "cpu"
     env["PALLAS_AXON_POOL_IPS"] = ""  # gate: skip TPU plugin registration
+    # Persistent XLA compilation cache: the suite's dominant cost is
+    # jit-compiling near-identical tiny train/inference programs (fresh
+    # jit closures per test recompile the same HLO); the cache converts
+    # those, and full re-runs, into disk hits.
+    env.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"),
+    )
+    env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
     flags = env.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         env["XLA_FLAGS"] = (

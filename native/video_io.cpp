@@ -3,11 +3,13 @@
 // The reference leans on OpenCV's C++ videoio through the Python
 // bindings; at streaming-1080p rates the Python layer (GIL-bound
 // per-frame conversion, one frame per call) becomes the input
-// bottleneck.  This worker keeps the whole decode -> BGR->RGB ->
-// float32 [-1,1] normalize path in C++ with a decode thread and a
-// bounded chunk queue, handing the Python pipeline ready-to-device
-// float batches through a zero-copy ctypes interface
-// (pwstablenet_tpu/data/native_io.py).
+// bottleneck.  This worker keeps the decode -> BGR->RGB path in C++
+// with a decode thread and a bounded chunk queue, handing the Python
+// pipeline ready-to-device **uint8 RGB** batches through a zero-copy
+// ctypes interface (pwstablenet_tpu/data/native_io.py).  Frames stay
+// uint8 end-to-end: normalization to [-1,1] happens on-device inside
+// the jitted pipeline step (ops/pixels.py), so the host never touches
+// float pixels and the host->device link carries 1 byte/px.
 //
 // Build: make -C native   (links the system OpenCV 4.x videoio)
 
@@ -29,7 +31,7 @@
 namespace {
 
 struct Chunk {
-  std::vector<float> data;  // (n, h, w, 3) RGB in [-1, 1]
+  std::vector<uint8_t> data;  // (n, h, w, 3) RGB uint8
   int frames = 0;
 };
 
@@ -59,19 +61,16 @@ struct Decoder {
   }
 
   void run() {
-    cv::Mat bgr, rgb, f32;
+    cv::Mat bgr, rgb;
     Chunk cur;
     cur.data.reserve(static_cast<size_t>(chunk_frames) * height * width * 3);
     while (!stop) {
       if (!cap.read(bgr)) break;
-      // normalize: BGR u8 -> RGB float32 in [-1, 1]
       cv::cvtColor(bgr, rgb, cv::COLOR_BGR2RGB);
-      rgb.convertTo(f32, CV_32FC3, 1.0 / 127.5, -1.0);
       const size_t n = static_cast<size_t>(height) * width * 3;
       const size_t off = cur.data.size();
       cur.data.resize(off + n);
-      std::memcpy(cur.data.data() + off, f32.ptr<float>(0),
-                  n * sizeof(float));
+      std::memcpy(cur.data.data() + off, rgb.ptr<uint8_t>(0), n);
       cur.frames++;
       if (cur.frames == chunk_frames) {
         push(std::move(cur));
@@ -92,7 +91,7 @@ struct Decoder {
   }
 
   // returns frames copied, 0 on end of stream
-  int next(float* out, int max_frames) {
+  int next(uint8_t* out, int max_frames) {
     std::unique_lock<std::mutex> lk(mu);
     not_empty.wait(lk, [&] { return !queue.empty() || done || stop; });
     if (queue.empty()) return 0;
@@ -102,7 +101,7 @@ struct Decoder {
     lk.unlock();
     const int n = c.frames < max_frames ? c.frames : max_frames;
     std::memcpy(out, c.data.data(),
-                static_cast<size_t>(n) * height * width * 3 * sizeof(float));
+                static_cast<size_t>(n) * height * width * 3);
     return n;
   }
 };
@@ -139,7 +138,7 @@ void vd_info(void* h, int* height, int* width, double* fps,
   *total_frames = d->total_frames;
 }
 
-int vd_next(void* h, float* out, int max_frames) {
+int vd_next_u8(void* h, uint8_t* out, int max_frames) {
   return static_cast<Decoder*>(h)->next(out, max_frames);
 }
 
@@ -158,16 +157,14 @@ void* ve_open(const char* path, const char* fourcc, double fps, int height,
   return e.release();
 }
 
-int ve_write(void* h, const float* frames, int n) {
+int ve_write_u8(void* h, const uint8_t* frames, int n) {
   auto* e = static_cast<Encoder*>(h);
-  cv::Mat f32(e->height, e->width, CV_32FC3);
-  cv::Mat u8, bgr;
+  cv::Mat bgr;
   const size_t stride = static_cast<size_t>(e->height) * e->width * 3;
   for (int i = 0; i < n; i++) {
-    std::memcpy(f32.ptr<float>(0), frames + i * stride,
-                stride * sizeof(float));
-    f32.convertTo(u8, CV_8UC3, 127.5, 127.5);
-    cv::cvtColor(u8, bgr, cv::COLOR_RGB2BGR);
+    const cv::Mat rgb(e->height, e->width, CV_8UC3,
+                      const_cast<uint8_t*>(frames + i * stride));
+    cv::cvtColor(rgb, bgr, cv::COLOR_RGB2BGR);
     e->writer.write(bgr);
   }
   return n;

@@ -135,13 +135,18 @@ def cmd_train(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    import runpy
+    import importlib.util
     import os
 
-    sys.argv = ["bench.py"]
-    path = os.path.join(os.path.dirname(__file__), "..", "..", "bench.py")
-    runpy.run_path(os.path.abspath(path), run_name="__main__")
-    return 0
+    # bench.py lives at the repo root (the driver contract); import it
+    # as a module so this works from any cwd.
+    path = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", "..", "bench.py")
+    )
+    spec = importlib.util.spec_from_file_location("pwstable_bench", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.main()
 
 
 def cmd_eval(args) -> int:

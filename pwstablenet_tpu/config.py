@@ -112,6 +112,9 @@ class TrainConfig:
 
     seed: int = 0
     log_every: int = 50
+    # optional JSONL scalar log file in addition to stdout
+    # (SURVEY.md section 5.5); "" = stdout only
+    scalar_log_path: str = ""
     checkpoint_every: int = 1000
     checkpoint_dir: str = "checkpoints"
     keep_checkpoints: int = 3
@@ -129,8 +132,12 @@ class DataConfig:
     unstable_dir: str = "unstable"
     crop_size: Tuple[int, int] = (256, 256)
     random_flip: bool = True
+    # shared random scale jitter applied before the crop (C4 "resize");
+    # (1.0, 1.0) disables. Lower bound is clamped so the crop always fits.
+    resize_scale_range: Tuple[float, float] = (1.0, 1.0)
     frame_stride: int = 1             # stride between temporal neighbors
     prefetch_depth: int = 2           # double-buffered device batches
+    # decode worker threads per batch (deepstab.batch_iterator)
     num_decode_threads: int = 2
     seed: int = 0
 

@@ -8,10 +8,13 @@ dual-camera rig (paper, arXiv:1905.08959).  Layout expected::
 
 A sample is: the unstable temporal stack around frame t for two
 consecutive time steps (t, t+1 — the temporal-loss pair, C13) plus the
-ground-truth stable frames, with a shared random crop and optional
-horizontal flip (C4).  Frames are decoded host-side by OpenCV (C1) with
-per-video capture reuse, and batches are assembled by a background
-thread feeding a bounded queue (double buffering, BASELINE.json:5).
+ground-truth stable frames, with shared random scale-jitter (resize),
+crop and optional horizontal flip (C4).  Frames are decoded host-side
+by OpenCV (C1) with per-video capture reuse and stay **uint8** all the
+way to the device (normalization happens inside the jitted train step —
+ops/pixels.py — cutting host->device bytes 4x).  Batches are assembled
+by ``num_decode_threads`` worker threads (cv2 releases the GIL during
+decode) feeding a bounded queue (double buffering, BASELINE.json:5).
 """
 
 from __future__ import annotations
@@ -27,7 +30,10 @@ from pwstablenet_tpu.data import video_io
 
 
 class _VideoCache:
-    """Sequential-friendly frame reader with capture + position reuse."""
+    """Sequential-friendly frame reader with capture + position reuse.
+
+    Thread-safe: a per-video lock serializes capture access so multiple
+    decode threads can work on different videos concurrently."""
 
     def __init__(self, path: str):
         import cv2
@@ -39,6 +45,7 @@ class _VideoCache:
             raise FileNotFoundError(path)
         self.num_frames = int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT))
         self._pos = 0
+        self.lock = threading.Lock()
 
     def read(self, t: int) -> np.ndarray:
         if t != self._pos:
@@ -48,10 +55,15 @@ class _VideoCache:
         if not ok:
             raise IOError(f"failed to read frame {t} of {self.path}")
         self._pos = t + 1
-        return video_io._to_float(bgr)
+        return video_io._to_uint8_rgb(bgr)
 
     def read_range(self, lo: int, hi: int) -> List[np.ndarray]:
-        return [self.read(t) for t in range(lo, hi)]
+        with self.lock:
+            return [self.read(t) for t in range(lo, hi)]
+
+    def read_locked(self, t: int) -> np.ndarray:
+        with self.lock:
+            return self.read(t)
 
 
 class DeepStabDataset:
@@ -109,25 +121,37 @@ class DeepStabDataset:
         ]
         lo, hi = min(span), max(span) + 1
         u_frames = {i: f for i, f in zip(range(lo, hi), u.read_range(lo, hi))}
-        s_t = s.read(t)
-        s_t1 = s.read(t + 1)
+        with s.lock:
+            s_t = s.read(t)
+            s_t1 = s.read(t + 1)
 
         ch, cw = cfg.crop_size
         H, W = s_t.shape[:2]
-        if H < ch or W < cw:
+        # shared resize augmentation (C4): one random scale per sample,
+        # bounded below so the crop still fits
+        smin, smax = cfg.resize_scale_range
+        smin = max(smin, ch / H, cw / W)
+        smax = max(smax, smin)
+        scale = float(rng.uniform(smin, smax))
+        rh, rw = max(int(round(H * scale)), ch), max(int(round(W * scale)), cw)
+        if rh < ch or rw < cw:
             raise ValueError(
                 f"video {s_path} ({H}x{W}) smaller than crop {ch}x{cw}"
             )
-        y0 = int(rng.integers(0, H - ch + 1))
-        x0 = int(rng.integers(0, W - cw + 1))
+        y0 = int(rng.integers(0, rh - ch + 1))
+        x0 = int(rng.integers(0, rw - cw + 1))
         flip = cfg.random_flip and bool(rng.integers(2))
 
+        import cv2
+
         def prep(img: np.ndarray) -> np.ndarray:
+            if (rh, rw) != (H, W):
+                img = cv2.resize(img, (rw, rh), interpolation=cv2.INTER_AREA)
             img = img[y0 : y0 + ch, x0 : x0 + cw]
             return img[:, ::-1] if flip else img
 
-        stacks = np.zeros((2, ch, cw, self.window * 3), np.float32)
-        stable = np.zeros((2, ch, cw, 3), np.float32)
+        stacks = np.zeros((2, ch, cw, self.window * 3), np.uint8)
+        stable = np.zeros((2, ch, cw, 3), np.uint8)
         for k in range(2):
             window = [
                 prep(u_frames[t + k + j * stride])
@@ -145,16 +169,40 @@ def batch_iterator(
     seed: int = 0,
     prefetch_depth: Optional[int] = None,
 ) -> Iterator[Dict[str, np.ndarray]]:
-    """Endless batches with background prefetch."""
+    """Endless batches with background prefetch.
+
+    ``DataConfig.num_decode_threads`` workers decode samples of a batch
+    concurrently (cv2 releases the GIL; per-video locks in _VideoCache
+    keep captures safe); the assembled batches flow through a bounded
+    queue so decode overlaps device compute.
+    """
     depth = prefetch_depth or dataset.cfg.prefetch_depth
+    n_threads = max(int(dataset.cfg.num_decode_threads), 1)
 
     def gen():
         rng = np.random.default_rng(seed)
-        while True:
-            samples = [dataset.sample(rng) for _ in range(batch_size)]
-            yield {
-                k: np.stack([s[k] for s in samples]) for k in samples[0]
-            }
+        if n_threads == 1:
+            while True:
+                samples = [dataset.sample(rng) for _ in range(batch_size)]
+                yield {
+                    k: np.stack([s[k] for s in samples]) for k in samples[0]
+                }
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(n_threads) as pool:
+                while True:
+                    # independent child seeds, drawn on one thread for
+                    # determinism regardless of pool scheduling
+                    rngs = [
+                        np.random.default_rng(int(rng.integers(1 << 62)))
+                        for _ in range(batch_size)
+                    ]
+                    samples = list(pool.map(dataset.sample, rngs))
+                    yield {
+                        k: np.stack([s[k] for s in samples])
+                        for k in samples[0]
+                    }
 
     return iter(video_io.Prefetcher(gen(), depth=depth))
 

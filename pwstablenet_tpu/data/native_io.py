@@ -1,12 +1,14 @@
 """ctypes bindings for the native C++ video runtime (SURVEY.md N-4).
 
-``native/video_io.cpp`` keeps decode + color conversion + normalization
-in C++ with a background decode thread and a bounded chunk queue,
-removing the GIL-bound Python per-frame path at streaming rates.  The
-library is built on demand with ``make`` (g++ + system OpenCV 4); all
-callers fall back to the pure-Python ``video_io`` path when the
-toolchain or library is unavailable, so the framework never hard
-depends on it.
+``native/video_io.cpp`` keeps decode + color conversion in C++ with a
+background decode thread and a bounded chunk queue, removing the
+GIL-bound Python per-frame path at streaming rates.  Chunks are
+**uint8 RGB** — the device-transport format (normalization to [-1, 1]
+happens on-device; see ``ops.pixels``).  The library is built on
+demand with ``make`` (g++ + system OpenCV 4) and rebuilt automatically
+if an on-disk copy predates the uint8 ABI; all callers fall back to
+the pure-Python ``video_io`` path when the toolchain or library is
+unavailable, so the framework never hard depends on it.
 """
 
 from __future__ import annotations
@@ -36,20 +38,29 @@ def _load() -> Optional[ctypes.CDLL]:
             return _lib
         if _build_failed:
             return None
-        if not os.path.exists(_LIB_PATH):
+        for attempt in range(2):
+            if not os.path.exists(_LIB_PATH):
+                try:
+                    subprocess.run(
+                        ["make", "-C", _NATIVE_DIR],
+                        check=True, capture_output=True, timeout=240,
+                    )
+                except Exception:
+                    _build_failed = True
+                    return None
             try:
-                subprocess.run(
-                    ["make", "-C", _NATIVE_DIR],
-                    check=True, capture_output=True, timeout=240,
-                )
-            except Exception:
+                lib = ctypes.CDLL(_LIB_PATH)
+                lib.vd_next_u8  # uint8 ABI marker
+                break
+            except (OSError, AttributeError):
+                if attempt == 0:  # stale pre-uint8 library: rebuild once
+                    try:
+                        os.remove(_LIB_PATH)
+                    except OSError:
+                        pass
+                    continue
                 _build_failed = True
                 return None
-        try:
-            lib = ctypes.CDLL(_LIB_PATH)
-        except OSError:
-            _build_failed = True
-            return None
         lib.vd_open.restype = ctypes.c_void_p
         lib.vd_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
         lib.vd_info.argtypes = [
@@ -59,10 +70,10 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_int64),
         ]
-        lib.vd_next.restype = ctypes.c_int
-        lib.vd_next.argtypes = [
+        lib.vd_next_u8.restype = ctypes.c_int
+        lib.vd_next_u8.argtypes = [
             ctypes.c_void_p,
-            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int,
         ]
         lib.vd_close.argtypes = [ctypes.c_void_p]
@@ -71,9 +82,9 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_double,
             ctypes.c_int, ctypes.c_int,
         ]
-        lib.ve_write.restype = ctypes.c_int
-        lib.ve_write.argtypes = [
-            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int
+        lib.ve_write_u8.restype = ctypes.c_int
+        lib.ve_write_u8.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int
         ]
         lib.ve_close.argtypes = [ctypes.c_void_p]
         _lib = lib
@@ -85,7 +96,7 @@ def available() -> bool:
 
 
 class NativeDecoder:
-    """Streaming decoder: chunks of (n, H, W, 3) float32 RGB [-1, 1]."""
+    """Streaming decoder: chunks of (n, H, W, 3) uint8 RGB."""
 
     def __init__(self, path: str, chunk_frames: int = 8, queue_depth: int = 2):
         lib = _load()
@@ -110,11 +121,11 @@ class NativeDecoder:
     def __iter__(self) -> Iterator[np.ndarray]:
         while True:
             buf = np.empty(
-                (self.chunk_frames, self.height, self.width, 3), np.float32
+                (self.chunk_frames, self.height, self.width, 3), np.uint8
             )
-            got = self._lib.vd_next(
+            got = self._lib.vd_next_u8(
                 self._h,
-                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                 self.chunk_frames,
             )
             if got == 0:
@@ -134,7 +145,8 @@ class NativeDecoder:
 
 
 class NativeEncoder:
-    """Streaming encoder for float32 RGB [-1, 1] frames."""
+    """Streaming encoder for uint8 RGB frames (float [-1, 1] accepted
+    and converted host-side for compatibility)."""
 
     def __init__(self, path: str, fps: float, size_hw: Tuple[int, int],
                  codec: str = "mp4v"):
@@ -150,10 +162,14 @@ class NativeEncoder:
             raise RuntimeError(f"cannot open video writer for {path!r}")
 
     def write(self, frames: np.ndarray) -> None:
-        frames = np.ascontiguousarray(frames, np.float32)
-        self._lib.ve_write(
+        if frames.dtype != np.uint8:
+            frames = np.clip(
+                (frames.astype(np.float32) + 1.0) * 127.5, 0, 255
+            ).astype(np.uint8)
+        frames = np.ascontiguousarray(frames)
+        self._lib.ve_write_u8(
             self._h,
-            frames.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             frames.shape[0],
         )
 

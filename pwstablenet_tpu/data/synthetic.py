@@ -102,15 +102,27 @@ def synthetic_pair_clip(
     return np.stack(stable_frames), np.stack(unstable_frames)
 
 
+def _quantize(x: np.ndarray) -> np.ndarray:
+    """[-1, 1] float -> uint8 transport format (matches real decoded
+    video, which is natively 8-bit; see ops.pixels / data.video_io)."""
+    return np.clip((x + 1.0) * 127.5, 0, 255).round().astype(np.uint8)
+
+
 def make_train_batch(
     batch_size: int,
     height: int,
     width: int,
     temporal_window: int,
     seed: int = 0,
+    dtype=np.uint8,
 ) -> dict:
     """Synthetic batch in the train-step format: two consecutive time
-    steps per sample (SURVEY.md C13 temporal loss)."""
+    steps per sample (SURVEY.md C13 temporal loss).
+
+    Batches are uint8 by default — the device-transport format (the
+    train step normalizes on device); pass ``dtype=np.float32`` for
+    host-side floats in [-1, 1].
+    """
     rng = np.random.default_rng(seed)
     half = temporal_window // 2
     stacks = np.zeros(
@@ -130,4 +142,6 @@ def make_train_batch(
                 height, width, temporal_window * 3
             )
             stable[b, k] = s[t]
+    if np.dtype(dtype) == np.uint8:
+        return {"stacks": _quantize(stacks), "stable": _quantize(stable)}
     return {"stacks": stacks, "stable": stable}

@@ -1,10 +1,17 @@
 """Host-side video decode/encode (SURVEY.md C1 / N-4).
 
 OpenCV's C++ videoio stays on the host side of the device boundary,
-exactly as in the reference — frames cross to the device as batched
-float arrays.  A background decode thread feeds a bounded queue so
-decode overlaps device compute (the "double-buffered device batches"
-of BASELINE.json:5; depth set by ``DataConfig.prefetch_depth``).
+exactly as in the reference.  Frames travel host<->device as **uint8
+RGB** by default — the decoder's native dtype — and are normalized to
+[-1, 1] on-device inside the jitted pipeline step: a 4x cut in
+host->device bytes versus shipping float32, which matters both through
+this environment's tunnel link and on real hosts at 1080p streaming
+rates.  ``dtype=np.float32`` is still accepted everywhere for callers
+that want host-side floats (tests, numpy-level tooling).
+
+A background decode thread feeds a bounded queue so decode overlaps
+device compute (the "double-buffered device batches" of BASELINE.json:5;
+depth set by ``DataConfig.prefetch_depth``).
 """
 
 from __future__ import annotations
@@ -26,10 +33,15 @@ def _require_cv2():
         raise RuntimeError("OpenCV (cv2) is required for video I/O")
 
 
-def read_video(path: str, max_frames: int = -1) -> Tuple[np.ndarray, float]:
-    """Decode a whole video -> (frames (T, H, W, 3) RGB float32 in
-    [-1, 1], fps)."""
+def read_video(
+    path: str, max_frames: int = -1, dtype=np.float32
+) -> Tuple[np.ndarray, float]:
+    """Decode a whole video -> (frames (T, H, W, 3) RGB, fps).
+
+    dtype float32: values in [-1, 1]; dtype uint8: raw 0..255 (the
+    device-transport format — see module docstring)."""
     _require_cv2()
+    conv = _to_uint8_rgb if np.dtype(dtype) == np.uint8 else _to_float
     cap = cv2.VideoCapture(path)
     if not cap.isOpened():
         raise FileNotFoundError(f"cannot open video {path!r}")
@@ -39,16 +51,19 @@ def read_video(path: str, max_frames: int = -1) -> Tuple[np.ndarray, float]:
         ok, bgr = cap.read()
         if not ok:
             break
-        frames.append(_to_float(bgr))
+        frames.append(conv(bgr))
     cap.release()
     if not frames:
         raise ValueError(f"no frames decoded from {path!r}")
     return np.stack(frames), float(fps)
 
 
-def iter_video(path: str, chunk: int) -> Iterator[np.ndarray]:
+def iter_video(
+    path: str, chunk: int, dtype=np.float32
+) -> Iterator[np.ndarray]:
     """Stream a video in chunks of ``chunk`` frames (last may be short)."""
     _require_cv2()
+    conv = _to_uint8_rgb if np.dtype(dtype) == np.uint8 else _to_float
     cap = cv2.VideoCapture(path)
     if not cap.isOpened():
         raise FileNotFoundError(f"cannot open video {path!r}")
@@ -57,7 +72,7 @@ def iter_video(path: str, chunk: int) -> Iterator[np.ndarray]:
         ok, bgr = cap.read()
         if not ok:
             break
-        buf.append(_to_float(bgr))
+        buf.append(conv(bgr))
         if len(buf) == chunk:
             yield np.stack(buf)
             buf = []
@@ -108,7 +123,13 @@ def _to_float(bgr: np.ndarray) -> np.ndarray:
     return rgb / 127.5 - 1.0
 
 
+def _to_uint8_rgb(bgr: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(bgr[..., ::-1])
+
+
 def _to_uint8_bgr(frame: np.ndarray) -> np.ndarray:
+    if frame.dtype == np.uint8:  # already transport format: swap only
+        return frame[..., ::-1]
     rgb = np.clip((frame + 1.0) * 127.5, 0, 255).astype(np.uint8)
     return rgb[..., ::-1]
 

@@ -80,12 +80,12 @@ def warp_image(
     grid = flow_to_grid(flow.astype(jnp.float32))
     if use_pallas and _pallas_available():
         from pwstablenet_tpu.kernels.grid_sample_pallas import (
-            grid_sample_pallas,
-            pallas_supported,
+            grid_sample_pallas_padded,
+            pallas_supported_padded,
         )
 
-        if pallas_supported(image.shape, image.dtype):
-            return grid_sample_pallas(
+        if pallas_supported_padded(image.shape, image.dtype):
+            return grid_sample_pallas_padded(
                 image,
                 grid,
                 padding_mode=padding_mode,
@@ -129,9 +129,11 @@ def _pallas_available() -> bool:
     jax.custom_vjp, nondiff_argnums=(2, 3)
 )
 def _fused_sample(image, grid, padding_mode, align_corners):
-    from pwstablenet_tpu.kernels.grid_sample_pallas import grid_sample_pallas
+    from pwstablenet_tpu.kernels.grid_sample_pallas import (
+        grid_sample_pallas_padded,
+    )
 
-    return grid_sample_pallas(
+    return grid_sample_pallas_padded(
         image, grid, padding_mode=padding_mode, align_corners=align_corners
     )
 
@@ -143,11 +145,11 @@ def _fused_sample_fwd(image, grid, padding_mode, align_corners):
 
 def _fused_sample_bwd(padding_mode, align_corners, res, cot):
     from pwstablenet_tpu.kernels.grid_sample_pallas import (
-        grid_sample_grad_pallas,
+        grid_sample_grad_pallas_padded,
     )
 
     image, grid = res
-    dgrid = grid_sample_grad_pallas(
+    dgrid = grid_sample_grad_pallas_padded(
         image,
         grid,
         cot.astype(jnp.float32),
@@ -173,13 +175,18 @@ def warp_image_fused(
     (flow gradients only — image treated as data; see module comment).
 
     Falls back to the XLA path off-TPU or for unsupported geometry."""
-    from pwstablenet_tpu.kernels.grid_sample_pallas import pallas_supported
+    from pwstablenet_tpu.kernels.grid_sample_pallas import (
+        pallas_supported_padded,
+    )
 
     b, h, w, _ = image.shape
     if flow.shape[1:3] != (h, w):
         flow = resize_flow(flow, h, w)
     image = jax.lax.stop_gradient(image)
-    if not (_pallas_available() and pallas_supported(image.shape, image.dtype)):
+    if not (
+        _pallas_available()
+        and pallas_supported_padded(image.shape, image.dtype)
+    ):
         grid = flow_to_grid(flow.astype(jnp.float32))
         return grid_sample(
             image, grid, mode="bilinear",

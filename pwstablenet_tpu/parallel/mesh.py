@@ -63,13 +63,19 @@ def data_parallel_step(
 ) -> Callable:
     """Jit a ``train_step(state, batch)`` for data-parallel execution:
     state replicated, batch sharded on its leading axis.  Gradient
-    all-reduce is inserted by the SPMD partitioner."""
+    all-reduce is inserted by the SPMD partitioner.
+
+    The incoming state is donated: params + two Adam states dominate HBM
+    (hundreds of MB at full size), and the step consumes its input state,
+    so XLA can update in place instead of holding both copies live.
+    """
     rep = replicated(mesh)
     shard = batch_sharding(mesh)
     return jax.jit(
         train_step,
         in_shardings=(rep, shard),
         out_shardings=(rep, rep),
+        donate_argnums=(0,),
     )
 
 

@@ -30,6 +30,7 @@ import numpy as np
 from pwstablenet_tpu.config import ModelConfig, PipelineConfig
 from pwstablenet_tpu.data import video_io
 from pwstablenet_tpu.models import CascadedGenerator
+from pwstablenet_tpu.ops.pixels import from_unit, to_unit
 from pwstablenet_tpu.ops.warp import resize_flow, warp_image
 
 Array = jax.Array
@@ -88,11 +89,18 @@ class Stabilizer:
 
         @functools.partial(jax.jit, static_argnames=("use_pallas",))
         def step(params, frames, use_pallas):
+            # uint8 transport: frames arrive in the decoder's dtype and
+            # are normalized here, on device (ops.pixels); output frames
+            # return in the same dtype, so the link carries 1 byte/px
+            # each way instead of 4.
+            is_int = jnp.issubdtype(frames.dtype, jnp.integer)
             n = frames.shape[0] - (T - 1)
+            with jax.named_scope("normalize"):
+                framesf = to_unit(frames)
             with jax.named_scope("preprocess_resize"):
                 small = jax.image.resize(
-                    frames,
-                    (frames.shape[0], mh, mw, frames.shape[-1]),
+                    framesf,
+                    (framesf.shape[0], mh, mw, framesf.shape[-1]),
                     method="bilinear",
                 )
             # temporal stacking with static slices: window j contributes
@@ -106,7 +114,7 @@ class Stabilizer:
                 stacks = jax.lax.with_sharding_constraint(stacks, shard)
             flows = self.model.apply(params, stacks)
             flow = flows[-1]  # final cascade stage
-            centers = frames[T // 2 : T // 2 + n]
+            centers = framesf[T // 2 : T // 2 + n]
             with jax.named_scope("fused_warp"):
                 stabilized = warp_image(
                     centers,
@@ -115,6 +123,8 @@ class Stabilizer:
                     align_corners=cfg.align_corners,
                     use_pallas=use_pallas,
                 )
+            if is_int:
+                stabilized = from_unit(stabilized)
             return stabilized, flow
 
         return step
@@ -126,10 +136,13 @@ class Stabilizer:
         """Stabilize a clip.
 
         Args:
-          frames: (time, H, W, 3) RGB float32 in [-1, 1].
+          frames: (time, H, W, 3) RGB — float32 in [-1, 1], or uint8
+            0..255 (the preferred device-transport format: 4x fewer
+            host->device bytes; normalization happens on device).
         Returns:
-          (stabilized (time, H, W, 3) float32, warp_fields (time, h, w, 2)
-          normalized displacements at model resolution).
+          (stabilized (time, H, W, 3) in the input dtype,
+          warp_fields (time, h, w, 2) normalized displacements at model
+          resolution).
         """
         outs, flows = [], []
         for s, f in self._stream(iter([frames]), batch_windows):
@@ -176,7 +189,9 @@ class Stabilizer:
                 output_path, fps, (h, w), cfg.output_codec
             )
         else:
-            frames_iter = video_io.iter_video(input_path, chunk)
+            frames_iter = video_io.iter_video(
+                input_path, chunk, dtype=np.uint8
+            )
             if max_frames > 0:
                 frames_iter = _limit_frames(frames_iter, max_frames)
 
@@ -301,13 +316,15 @@ class Stabilizer:
     def _pallas_ok(self, frames_shape) -> bool:
         if jax.default_backend() != "tpu":
             return False
-        from pwstablenet_tpu.kernels.grid_sample_pallas import pallas_supported
+        from pwstablenet_tpu.kernels.grid_sample_pallas import (
+            pallas_supported_padded,
+        )
 
         t, h, w, c = frames_shape
         n = t - (self.model_cfg.temporal_window - 1)
         return (
             self.model_cfg.padding_mode in ("border", "zeros")
-            and pallas_supported((n, h, w, c), jnp.float32)
+            and pallas_supported_padded((n, h, w, c), jnp.float32)
         )
 
     def _border_crop(self, frames: np.ndarray) -> np.ndarray:

@@ -75,24 +75,56 @@ def train(
         else train_cfg.num_epochs * train_cfg.steps_per_epoch
     )
     log = log_fn or (lambda m: print(json.dumps(m), flush=True))
+    if train_cfg.scalar_log_path:
+        # SURVEY.md section 5.5: TensorBoard-free summary writer — the
+        # same JSONL scalars appended to a file alongside stdout.
+        inner_log = log
+        scalar_file = open(train_cfg.scalar_log_path, "a", buffering=1)
 
-    t_last = time.perf_counter()
-    while int(state.step) < total:
-        batch = next(batch_iterator)
-        batch = shard_batch(
-            jax.tree_util.tree_map(np.asarray, batch), mesh
+        def log(m, _inner=inner_log, _f=scalar_file):
+            _f.write(json.dumps(m) + "\n")
+            _inner(m)
+
+    try:
+        return _run_loop(
+            state, step_fn, batch_iterator, mesh, train_cfg, total, log
         )
+    finally:
+        if train_cfg.scalar_log_path:
+            scalar_file.close()
+
+
+def _run_loop(state, step_fn, batch_iterator, mesh, train_cfg, total, log):
+    # HOT LOOP.  Dispatch is asynchronous: step_fn returns device
+    # futures immediately, so the host prepares batch N+1 (decode +
+    # device_put) while the device runs step N.  Nothing in the loop
+    # body blocks on the device except the periodic metrics fetch at
+    # log_every — a host-side step counter replaces the per-step
+    # ``int(state.step)`` sync that would otherwise serialize every
+    # dispatch on this tunnel-attached TPU (30-100 ms/sync).
+    step = int(state.step)  # one sync, at entry (covers resume)
+    t_last = time.perf_counter()
+    last_logged = step
+    next_batch = shard_batch(
+        jax.tree_util.tree_map(np.asarray, next(batch_iterator)), mesh
+    )
+    while step < total:
+        batch = next_batch
         state, metrics = step_fn(state, batch)
-        step = int(state.step)
+        step += 1
+        if step < total:
+            next_batch = shard_batch(
+                jax.tree_util.tree_map(np.asarray, next(batch_iterator)),
+                mesh,
+            )
 
         if train_cfg.fault_inject_step == step:
+            jax.block_until_ready(state)
             raise FaultInjected(f"injected fault at step {step}")
 
         if step % train_cfg.log_every == 0 or step == total:
+            scalars = {k: float(v) for k, v in metrics.items()}  # sync
             now = time.perf_counter()
-            scalars = {
-                k: float(v) for k, v in metrics.items()
-            }
             if train_cfg.debug_nans and not all(
                 np.isfinite(v) for v in scalars.values()
             ):
@@ -101,9 +133,9 @@ def train(
                 )
             scalars.update(
                 step=step,
-                sec_per_step=(now - t_last) / train_cfg.log_every,
+                sec_per_step=(now - t_last) / max(step - last_logged, 1),
             )
-            t_last = now
+            t_last, last_logged = now, step
             log(scalars)
 
         if step % train_cfg.checkpoint_every == 0 or step == total:
@@ -116,13 +148,22 @@ def train(
 def synthetic_batch_iterator(
     model_cfg: ModelConfig, train_cfg: TrainConfig, seed: int = 0
 ) -> Iterator[dict]:
-    """Endless synthetic DeepStab-like batches (for tests/smoke runs)."""
+    """Endless synthetic DeepStab-like batches (for tests/smoke runs).
+
+    Prefetched on a background thread (like the DeepStab loader) so
+    host-side generation overlaps device compute in the train loop.
+    """
     from pwstablenet_tpu.data.synthetic import make_train_batch
+    from pwstablenet_tpu.data.video_io import Prefetcher
 
     h, w = model_cfg.model_resolution
-    i = seed
-    while True:
-        yield make_train_batch(
-            train_cfg.batch_size, h, w, model_cfg.temporal_window, seed=i
-        )
-        i += 1
+
+    def gen():
+        i = seed
+        while True:
+            yield make_train_batch(
+                train_cfg.batch_size, h, w, model_cfg.temporal_window, seed=i
+            )
+            i += 1
+
+    return iter(Prefetcher(gen(), depth=2))

@@ -4,12 +4,15 @@ the reference's per-batch ``d_loss.backward(); optD.step();
 g_loss.backward(); optG.step()`` sequence becomes a single XLA module.
 
 Batch format (built by ``data``):
-  stacks: (B, 2, H, W, T*C) float32 in [-1, 1] — temporal stacks for
-          two consecutive time steps (for the temporal loss, C13)
+  stacks: (B, 2, H, W, T*C) — temporal stacks for two consecutive time
+          steps (for the temporal loss, C13)
   stable: (B, 2, H, W, C) — ground-truth stable frames
 
-The pair axis is folded into the batch for all network forwards and
-unfolded only for the temporal term.
+Batches arrive either as **uint8** (the preferred transport format —
+4x fewer host->device bytes; normalized to [-1, 1] on device, see
+``ops.pixels``) or as float32 already in [-1, 1].  The pair axis is
+folded into the batch for all network forwards and unfolded only for
+the temporal term.
 """
 
 from __future__ import annotations
@@ -20,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from pwstablenet_tpu.config import ModelConfig, TrainConfig
+from pwstablenet_tpu.ops.pixels import to_unit
 from pwstablenet_tpu.ops.warp import warp_image_fused
 from pwstablenet_tpu.train import losses
 from pwstablenet_tpu.train.state import TrainState, make_optimizers
@@ -63,8 +67,8 @@ def make_train_step(
     def train_step(
         state: TrainState, batch: Dict[str, Array]
     ) -> Tuple[TrainState, Dict[str, Array]]:
-        stacks = _fold(batch["stacks"])          # (2B, H, W, T*C)
-        stable = _fold(batch["stable"])          # (2B, H, W, C)
+        stacks = to_unit(_fold(batch["stacks"]))  # (2B, H, W, T*C)
+        stable = to_unit(_fold(batch["stable"]))  # (2B, H, W, C)
         center = _center(stacks, model_cfg)      # (2B, H, W, C) unstable
         rng, drop_rng = jax.random.split(state.rng)
 

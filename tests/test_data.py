@@ -28,9 +28,9 @@ def test_dataset_sample_shapes(deepstab_root):
     s = ds.sample(np.random.default_rng(0))
     assert s["stacks"].shape == (2, 64, 64, 9)
     assert s["stable"].shape == (2, 64, 64, 3)
-    assert np.isfinite(s["stacks"]).all()
-    # values normalized to [-1, 1]
-    assert s["stacks"].min() >= -1.001 and s["stacks"].max() <= 1.001
+    # uint8 device-transport format (normalized on device; ops/pixels.py)
+    assert s["stacks"].dtype == np.uint8
+    assert s["stable"].dtype == np.uint8
 
 
 def test_dataset_temporal_consistency(deepstab_root):

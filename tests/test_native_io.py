@@ -21,12 +21,12 @@ def clip_file(tmp_path_factory):
 
 def test_decode_matches_python_path(clip_file):
     path, _ = clip_file
-    ref, fps = video_io.read_video(path)
+    ref, fps = video_io.read_video(path, dtype=np.uint8)
     dec = native_io.NativeDecoder(path, chunk_frames=7)
     assert (dec.height, dec.width) == ref.shape[1:3]
     got = np.concatenate(list(dec))
-    assert got.shape == ref.shape
-    np.testing.assert_allclose(got, ref, atol=1e-5)
+    assert got.shape == ref.shape and got.dtype == np.uint8
+    np.testing.assert_array_equal(got, ref)
 
 
 def test_encode_decode_roundtrip(clip_file, tmp_path):

@@ -122,6 +122,77 @@ def test_fused_warp_flow_gradient_matches_xla():
     )
 
 
+@pytest.mark.parametrize("padding_mode", ["border", "zeros"])
+@pytest.mark.parametrize("hw", [(16, 96), (22, 130)])
+def test_padded_kernel_matches_oracle(padding_mode, hw):
+    """Pad-to-lane-geometry wrapper (VERDICT r1 item 4): widths off the
+    128 grid (832/854-style) and ragged heights must be exact."""
+    from pwstablenet_tpu.kernels.grid_sample_pallas import (
+        grid_sample_pallas_padded,
+        pallas_supported_padded,
+    )
+
+    h, w = hw
+    img, grid = _smooth_case(h=h, w=w, c=2, mag=0.3, seed=5)
+    assert pallas_supported_padded(img.shape, img.dtype)
+    ref = grid_sample(img, grid, padding_mode=padding_mode)
+    out = grid_sample_pallas_padded(
+        img, grid, padding_mode=padding_mode, interpret=True
+    )
+    # 5e-5: float32 rounding of the affine coordinate remap (~1e-6 px),
+    # far below the 1/255 uint8 quantum — semantics are exact.
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
+def test_padded_kernel_oob_taps_match_oracle():
+    """Taps pushed past the ORIGINAL right/bottom edge must see the
+    original border semantics, not the padding region."""
+    from pwstablenet_tpu.kernels.grid_sample_pallas import (
+        grid_sample_pallas_padded,
+    )
+
+    for padding_mode in ("border", "zeros"):
+        img, _ = _smooth_case(h=16, w=96, seed=6)
+        flow = jnp.zeros((1, 16, 96, 2), jnp.float32)
+        # push right by 3.2 px and down by 2.5 px: edge pixels sample
+        # outside the original frame, inside the padded one
+        flow = flow.at[..., 0].set(2.0 / 95 * 3.2)
+        flow = flow.at[..., 1].set(2.0 / 15 * 2.5)
+        grid = flow_to_grid(flow)
+        ref = grid_sample(img, grid, padding_mode=padding_mode)
+        out = grid_sample_pallas_padded(
+            img, grid, padding_mode=padding_mode, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=5e-5,
+            err_msg=padding_mode,
+        )
+
+
+@pytest.mark.parametrize("align_corners", [True, False])
+def test_padded_grad_kernel_matches_autodiff(align_corners):
+    from pwstablenet_tpu.kernels.grid_sample_pallas import (
+        grid_sample_grad_pallas_padded,
+    )
+
+    img, grid = _smooth_case(c=2, h=16, w=96, mag=0.12, seed=7)
+    rng = np.random.default_rng(8)
+    ct = jnp.asarray(rng.standard_normal(img.shape).astype(np.float32))
+
+    def scalar(g):
+        return jnp.sum(
+            ct * grid_sample(img, g, align_corners=align_corners)
+        )
+
+    expected = jax.grad(scalar)(grid)
+    got = grid_sample_grad_pallas_padded(
+        img, grid, ct, align_corners=align_corners, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expected), atol=2e-4, rtol=1e-4
+    )
+
+
 def test_kernel_rejects_bad_shapes():
     img = jnp.zeros((1, 250, 128, 1))
     grid = jnp.zeros((1, 250, 128, 2))

@@ -60,6 +60,23 @@ def test_chunked_equals_whole(clip):
     np.testing.assert_allclose(a[0], b[0], atol=1e-4)
 
 
+def test_uint8_transport_matches_float_path(clip):
+    """uint8 in -> uint8 out, equal (up to quantization) to the f32
+    path — the device-transport contract (ops/pixels.py)."""
+    clip_u8 = np.clip((clip + 1.0) * 127.5, 0, 255).round().astype(np.uint8)
+    stab = Stabilizer(SMALL, PipelineConfig(batch_windows=4))
+    out_u8, flows_u8 = stab.stabilize_frames(clip_u8)
+    assert out_u8.dtype == np.uint8
+    out_f, flows_f = stab.stabilize_frames(
+        clip_u8.astype(np.float32) / 127.5 - 1.0
+    )
+    assert out_f.dtype == np.float32
+    np.testing.assert_allclose(flows_u8, flows_f, atol=1e-6)
+    out_f_q = np.clip((out_f + 1.0) * 127.5, 0, 255).round().astype(np.uint8)
+    diff = np.abs(out_u8.astype(np.int16) - out_f_q.astype(np.int16))
+    assert diff.max() <= 1  # rounding at the half-ULP boundary only
+
+
 def test_functional_api(clip):
     out, flows = stabilize(clip[:8], SMALL)
     assert out.shape == clip[:8].shape
