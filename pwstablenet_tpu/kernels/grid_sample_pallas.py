@@ -170,6 +170,53 @@ def _pad_scales(h, w, h2, w2, align_corners):
     return w / w2, h / h2
 
 
+def _reflect_grid(grid, h, w, align_corners):
+    """Pre-reflect a normalized grid into in-bounds coordinates (torch
+    ``reflection`` padding), returning ``(reflected_grid, dsign)``.
+
+    Reflection is a pure elementwise coordinate transform, so the fused
+    kernel needs no reflection mode of its own: reflect here (fuses into
+    the surrounding grid computation under jit), then sample with
+    ``border`` — after reflection + clip the coordinates are already in
+    ``[0, size-1]``, so the border clamp is the identity and tap
+    semantics match ATen's reflection path exactly.  ``dsign`` is the
+    diagonal Jacobian d(reflected)/d(original) in {-1, 0, +1} (odd
+    reflections flip sign; the final clip zeroes it), used by the
+    gradient wrapper.
+    """
+    outs, signs = [], []
+    for axis, size in ((0, w), (1, h)):
+        g = grid[..., axis].astype(jnp.float32)
+        if size == 1:
+            outs.append(jnp.full_like(g, -1.0))
+            signs.append(jnp.zeros_like(g))
+            continue
+        if align_corners:
+            scale = 0.5 * (size - 1)
+            x = (g + 1.0) * scale
+            low, span = 0.0, float(size - 1)
+        else:
+            scale = 0.5 * size
+            x = (g + 1.0) * scale - 0.5
+            low, span = -0.5, float(size)
+        d = x - low
+        s1 = jnp.where(d >= 0.0, 1.0, -1.0)
+        a = jnp.abs(d)
+        extra = jnp.mod(a, span)
+        even = jnp.mod(jnp.floor(a / span), 2.0) == 0.0
+        xr = jnp.where(even, extra + low, span - extra + low)
+        s2 = jnp.where(even, 1.0, -1.0)
+        inb = (xr >= 0.0) & (xr <= size - 1)
+        xrc = jnp.clip(xr, 0.0, size - 1)
+        if align_corners:
+            gr = xrc / scale - 1.0
+        else:
+            gr = (xrc + 0.5) / scale - 1.0
+        outs.append(gr)
+        signs.append(s1 * s2 * jnp.where(inb, 1.0, 0.0))
+    return jnp.stack(outs, axis=-1), jnp.stack(signs, axis=-1)
+
+
 def grid_sample_pallas_padded(
     image: Array,
     grid: Array,
@@ -182,7 +229,12 @@ def grid_sample_pallas_padded(
     kernel, and crops.  Semantically exact; the only deviation from the
     unpadded kernel is float32 rounding of the affine coordinate remap
     (~1e-6 px -> ~1e-5 value error, far below the uint8 quantum).
-    Parity locked by ``tests/test_pallas_kernel.py``."""
+    Also handles ``reflection`` padding via grid pre-reflection (see
+    ``_reflect_grid``).  Parity locked by ``tests/test_pallas_kernel.py``."""
+    if padding_mode == "reflection":
+        _, h, w, _ = image.shape
+        grid, _ = _reflect_grid(grid, h, w, align_corners)
+        padding_mode = "border"
     image_p, grid_p, (h, w), padded = _pad_inputs(
         image, grid, padding_mode, align_corners
     )
@@ -206,8 +258,18 @@ def grid_sample_grad_pallas_padded(
 ) -> Array:
     """Padded-geometry version of ``grid_sample_grad_pallas``: the
     cotangent is zero-padded (cropped output pixels contribute nothing)
-    and the returned d/dgrid is rescaled by the affine remap slopes."""
+    and the returned d/dgrid is rescaled by the affine remap slopes.
+    ``reflection`` is handled by grid pre-reflection with the chain-rule
+    sign from ``_reflect_grid``."""
     b, h, w, c = image.shape
+    if padding_mode == "reflection":
+        rgrid, dsign = _reflect_grid(grid, h, w, align_corners)
+        d = grid_sample_grad_pallas_padded(
+            image, rgrid, cotangent,
+            padding_mode="border", align_corners=align_corners,
+            interpret=interpret,
+        )
+        return d * dsign
     image_p, grid_p, _, padded = _pad_inputs(
         image, grid, padding_mode, align_corners
     )

@@ -322,10 +322,9 @@ class Stabilizer:
 
         t, h, w, c = frames_shape
         n = t - (self.model_cfg.temporal_window - 1)
-        return (
-            self.model_cfg.padding_mode in ("border", "zeros")
-            and pallas_supported_padded((n, h, w, c), jnp.float32)
-        )
+        # all three torch padding modes dispatch to the fused kernel
+        # (reflection via grid pre-reflection in the padded wrapper)
+        return pallas_supported_padded((n, h, w, c), jnp.float32)
 
     def _border_crop(self, frames: np.ndarray) -> np.ndarray:
         frac = self.pipeline_cfg.border_crop_frac

@@ -193,6 +193,56 @@ def test_padded_grad_kernel_matches_autodiff(align_corners):
     )
 
 
+@pytest.mark.parametrize("align_corners", [True, False])
+def test_reflection_padding_matches_oracle(align_corners):
+    """Reflection padding (C8 semantics table) via grid pre-reflection:
+    large flows that reflect off every border must match the oracle."""
+    from pwstablenet_tpu.kernels.grid_sample_pallas import (
+        grid_sample_pallas_padded,
+    )
+
+    img, _ = _smooth_case(h=16, w=96, c=2, seed=10)
+    rng = np.random.default_rng(10)
+    # flows up to +-1.5 frames: multiple reflections exercised
+    flow = jnp.asarray(
+        (rng.random((1, 16, 96, 2), np.float32) - 0.5) * 3.0
+    )
+    grid = flow_to_grid(flow)
+    ref = grid_sample(
+        img, grid, padding_mode="reflection", align_corners=align_corners
+    )
+    out = grid_sample_pallas_padded(
+        img, grid, padding_mode="reflection",
+        align_corners=align_corners, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
+def test_reflection_grad_matches_autodiff():
+    from pwstablenet_tpu.kernels.grid_sample_pallas import (
+        grid_sample_grad_pallas_padded,
+    )
+
+    img, _ = _smooth_case(h=16, w=96, c=2, seed=12)
+    rng = np.random.default_rng(12)
+    flow = jnp.asarray(
+        (rng.random((1, 16, 96, 2), np.float32) - 0.5) * 1.2
+    )
+    grid = flow_to_grid(flow)
+    ct = jnp.asarray(rng.standard_normal(img.shape).astype(np.float32))
+
+    def scalar(g):
+        return jnp.sum(ct * grid_sample(img, g, padding_mode="reflection"))
+
+    expected = jax.grad(scalar)(grid)
+    got = grid_sample_grad_pallas_padded(
+        img, grid, ct, padding_mode="reflection", interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expected), atol=2e-4, rtol=1e-4
+    )
+
+
 def test_kernel_rejects_bad_shapes():
     img = jnp.zeros((1, 250, 128, 1))
     grid = jnp.zeros((1, 250, 128, 2))
