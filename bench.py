@@ -137,6 +137,26 @@ def main() -> int:
     except Exception as e:  # cost model availability varies by backend
         log(f"MFU estimate unavailable: {e}")
 
+    # generator-only MFU (the chunk number is skewed by the warp kernel,
+    # which is gather-bound with ~zero FLOPs in XLA's cost model)
+    try:
+        mh, mw = model_cfg.model_resolution
+        xg = jnp.asarray(
+            rng.standard_normal((n, mh, mw, model_cfg.stack_channels))
+            .astype(np.float32)
+        )
+        gfwd = jax.jit(stab.model.apply)
+        dtg = device_time(lambda p, x: gfwd(p, x), (stab.params, xg), iters=10)
+        gcost = gfwd.lower(stab.params, xg).compile().cost_analysis()
+        gflops = float((gcost or {}).get("flops", 0.0))
+        if gflops > 0 and on_tpu:
+            gmfu = gflops / dtg / V5E_BF16_PEAK_FLOPS
+            results["mfu_generator"] = gmfu
+            log(f"generator fwd (b{n} {mh}x{mw}): {dtg*1e3:.2f} ms, "
+                f"MFU {100*gmfu:.1f}%")
+    except Exception as e:
+        log(f"generator MFU unavailable: {e}")
+
     # ---- config 2: 2-stage cascade on a 30-frame 480p clip ----
     # uint8 transport both ways; wall-clock includes host + tunnel link.
     clip = _quantize(rng.random((30, 480, 832, 3)) * 2 - 1)

@@ -20,6 +20,7 @@ def _add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--num-stages", type=int, default=None)
     p.add_argument("--num-levels", type=int, default=None)
     p.add_argument("--base-features", type=int, default=None)
+    p.add_argument("--max-features", type=int, default=None)
     p.add_argument("--norm", choices=["batch", "instance", "group", "none"],
                    default=None)
     p.add_argument("--interstage", choices=["features", "warped", "both"],
@@ -35,7 +36,7 @@ def _model_cfg(args):
     over = {}
     for field in (
         "temporal_window", "num_stages", "num_levels", "base_features",
-        "norm", "interstage",
+        "max_features", "norm", "interstage",
     ):
         v = getattr(args, field, None)
         if v is not None:
@@ -61,9 +62,15 @@ def cmd_stabilize(args) -> int:
     )
     params = None
     if args.checkpoint:
-        from pwstablenet_tpu.train import checkpoint as ckpt
+        if args.checkpoint.endswith((".pth", ".pt")):
+            # migrated reference checkpoint (interop weight-layout rules)
+            from pwstablenet_tpu.interop import load_torch_checkpoint
 
-        params = ckpt.load_params(args.checkpoint)
+            params = load_torch_checkpoint(args.checkpoint, model_cfg)
+        else:
+            from pwstablenet_tpu.train import checkpoint as ckpt
+
+            params = ckpt.load_params(args.checkpoint)
     stab = Stabilizer(model_cfg, pipe_cfg, params=params)
 
     if args.synthetic:
@@ -106,9 +113,12 @@ def cmd_train(args) -> int:
         batch_size=args.batch_size,
         steps_per_epoch=args.steps,
         num_epochs=1,
+        lr_g=args.lr,
+        lr_d=args.lr,
         checkpoint_dir=args.checkpoint_dir,
         log_every=args.log_every,
         checkpoint_every=args.checkpoint_every,
+        scalar_log_path=args.scalar_log or "",
         debug_nans=args.debug_nans,
         fault_inject_step=args.fault_inject_step,
         seed=args.seed,
@@ -124,6 +134,8 @@ def cmd_train(args) -> int:
         data_cfg = DataConfig(
             data_root=args.data_root,
             crop_size=model_cfg.model_resolution,
+            resize_scale_range=tuple(args.resize_scale),
+            num_decode_threads=args.decode_threads,
         )
         ds = DeepStabDataset(data_cfg, model_cfg.temporal_window)
         batches = batch_iterator(ds, train_cfg.batch_size, seed=args.seed)
@@ -190,7 +202,14 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--steps", type=int, default=1000)
     t.add_argument("--checkpoint-dir", default="checkpoints")
     t.add_argument("--resume", action="store_true")
+    t.add_argument("--lr", type=float, default=2e-4)
     t.add_argument("--log-every", type=int, default=50)
+    t.add_argument("--scalar-log",
+                   help="also append JSONL scalars to this file")
+    t.add_argument("--resize-scale", type=float, nargs=2,
+                   default=[1.0, 1.0], metavar=("MIN", "MAX"),
+                   help="random scale-jitter range before the crop")
+    t.add_argument("--decode-threads", type=int, default=2)
     t.add_argument("--checkpoint-every", type=int, default=500)
     t.add_argument("--debug-nans", action="store_true")
     t.add_argument("--fault-inject-step", type=int, default=-1)

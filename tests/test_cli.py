@@ -53,6 +53,37 @@ def test_train_synthetic_smoke(tmp_path, capsys):
     assert os.path.isdir(tmp_path / "ckpt")
 
 
+def test_stabilize_with_torch_checkpoint(tmp_path, capsys):
+    """A migrated reference .pth loads straight into the CLI (C18/C20)."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    from pwstablenet_tpu.config import ModelConfig
+    from pwstablenet_tpu.interop.torch_ref import TorchCascadedGenerator
+
+    cfg = ModelConfig(
+        temporal_window=3, num_levels=4, base_features=8, max_features=16,
+        model_resolution=(32, 32), num_stages=1, compute_dtype="float32",
+    )
+    pth = str(tmp_path / "ref.pth")
+    torch.save(TorchCascadedGenerator(cfg).state_dict(), pth)
+    out = str(tmp_path / "out.avi")
+    rc = main([
+        "stabilize", "--synthetic", "--frames", "8",
+        "--height", "48", "--width", "64",
+        "--num-levels", "4", "--base-features", "8",
+        "--max-features", "16",
+        "--temporal-window", "3", "--model-height", "32",
+        "--model-width", "32", "--num-stages", "1",
+        "--batch-windows", "4", "--checkpoint", pth,
+        "--output", out,
+    ])
+    assert rc == 0
+    assert json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    )["frames"] == 8
+
+
 def test_missing_args_error():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
