@@ -2,10 +2,11 @@
 DeepStab-like pairs, then verify the trained model actually stabilizes
 a held-out clip.
 
-Measured on TPU v5e (600 steps, ~160 s): held-out stability score
-0.624 (unstable input) -> 0.701 (stabilized); ground-truth stable
-camera scores 0.905.  cropping_ratio 1.001, distortion 1.0, mean
-correction ~6.7 px.  Run:
+Measured on TPU v5e. Round-2 stack (uint8 batch transport, 600 steps,
+120 s): held-out stability 0.624 (unstable input) -> 0.657, mean
+correction 8.5 px, cropping_ratio 1.000, distortion 1.0; the round-1
+float32 run reached 0.701 (GAN single-run variance; ground-truth
+stable camera scores 0.905).  Run:
 
     PYTHONPATH=. python examples/train_synthetic_demo.py
 """
@@ -41,6 +42,8 @@ for i in range(600):
         m["elapsed"] = round(time.time() - t0, 1)
         print(json.dumps(m), flush=True)
 
+import shutil
+shutil.rmtree("checkpoints/demo_params", ignore_errors=True)
 ckpt.save_params("checkpoints/demo_params", state.g_params)
 print("params saved", flush=True)
 

@@ -158,5 +158,10 @@ class PipelineConfig:
     batch_windows: int = 8            # temporal windows per device step
     border_crop_frac: float = 0.0     # optional stabilize-crop (0 = off)
     emit_warp_fields: bool = True
+    # dtype warp fields cross device->host in; float16 halves the D2H
+    # bytes of the flow stream (displacements are O(1e-1) normalized
+    # units — fp16's ~3 decimal digits are plenty for export/analysis;
+    # keep float32 when feeding flows back into computation)
+    warp_field_dtype: str = "float32"
     output_codec: str = "mp4v"
     prefetch_depth: int = 2

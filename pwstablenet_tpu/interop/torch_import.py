@@ -139,6 +139,60 @@ def torchvision_vgg_to_flax(vgg_state_dict, cfg) -> Dict:
     return {"params": params}
 
 
+def flax_to_torch_state_dict(params, cfg) -> Dict:
+    """Inverse of ``torch_state_dict_to_flax``: export a trained Flax
+    ``CascadedGenerator`` parameter pytree as a torch state_dict (numpy
+    values; pass through ``torch.as_tensor`` on load).  Lets users take
+    checkpoints trained here back to a torch environment, and gives the
+    converter a round-trip test."""
+    p = params.get("params", params)
+    sd: Dict = {}
+
+    def conv_w(k):  # (kh, kw, I, O) -> (O, I, kh, kw)
+        return np.asarray(k).transpose(3, 2, 0, 1)
+
+    def deconv_w(k):  # inverse of _deconv_w: flip back, (I, O, kh, kw)
+        a = np.asarray(k).transpose(2, 3, 0, 1)  # (I, O, kh, kw)
+        return np.ascontiguousarray(a[:, :, ::-1, ::-1])
+
+    for s in range(cfg.num_stages):
+        stage = p[f"stage{s}"]
+        pre = f"stages.{s}."
+        for i in range(cfg.num_levels):
+            sd[pre + f"downs.{i}.weight"] = conv_w(
+                stage[f"down{i}"]["conv"]["kernel"]
+            )
+            sd[pre + f"downs.{i}.bias"] = np.asarray(
+                stage[f"down{i}"]["conv"]["bias"]
+            )
+            if "norm" in stage[f"down{i}"]:
+                sd[pre + f"dnorms.{i}.weight"] = np.asarray(
+                    stage[f"down{i}"]["norm"]["scale"]
+                )
+                sd[pre + f"dnorms.{i}.bias"] = np.asarray(
+                    stage[f"down{i}"]["norm"]["bias"]
+                )
+        for level in range(cfg.num_levels - 1):
+            sd[pre + f"ups.{level}.weight"] = deconv_w(
+                stage[f"up{level}"]["deconv"]["kernel"]
+            )
+            sd[pre + f"ups.{level}.bias"] = np.asarray(
+                stage[f"up{level}"]["deconv"]["bias"]
+            )
+            if "norm" in stage[f"up{level}"]:
+                sd[pre + f"unorms.{level}.weight"] = np.asarray(
+                    stage[f"up{level}"]["norm"]["scale"]
+                )
+                sd[pre + f"unorms.{level}.bias"] = np.asarray(
+                    stage[f"up{level}"]["norm"]["bias"]
+                )
+        sd[pre + "head_up.weight"] = deconv_w(stage["head_up"]["kernel"])
+        sd[pre + "head_up.bias"] = np.asarray(stage["head_up"]["bias"])
+        sd[pre + "head.weight"] = conv_w(stage["head"]["kernel"])
+        sd[pre + "head.bias"] = np.asarray(stage["head"]["bias"])
+    return sd
+
+
 def load_torch_checkpoint(path: str, cfg):
     """Load a ``.pth``/``.pt`` file (a state_dict or a dict containing
     one) and convert."""

@@ -7,3 +7,6 @@ from pwstablenet_tpu.parallel.mesh import (  # noqa: F401
     replicated,
     shard_batch,
 )
+from pwstablenet_tpu.parallel.spatial import (  # noqa: F401
+    spatial_sharded_warp,
+)

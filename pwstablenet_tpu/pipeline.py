@@ -125,6 +125,7 @@ class Stabilizer:
                 )
             if is_int:
                 stabilized = from_unit(stabilized)
+            flow = flow.astype(jnp.dtype(self.pipeline_cfg.warp_field_dtype))
             return stabilized, flow
 
         return step

@@ -139,3 +139,70 @@ def test_clip_sharded_requires_divisible_batch():
             PipelineConfig(batch_windows=3),
             mesh=make_mesh(),
         )
+
+
+class TestSpatialShardedWarp:
+    """Row-sharded warp with ICI halo exchange (parallel/spatial.py):
+    sharded output must equal the unsharded oracle."""
+
+    def _case(self, h=64, w=128, mag=0.25, seed=0):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(seed)
+        img = jnp.asarray(rng.random((2, h, w, 3), np.float32))
+        lf = (rng.random((2, 4, 4, 2), np.float32) - 0.5) * mag
+        flow = jax.image.resize(jnp.asarray(lf), (2, h, w, 2), "bilinear")
+        return img, flow
+
+    def test_matches_unsharded_border(self):
+        from pwstablenet_tpu.ops.grid_sample import grid_sample
+        from pwstablenet_tpu.ops.warp import flow_to_grid
+        from pwstablenet_tpu.parallel import make_mesh, spatial_sharded_warp
+
+        mesh = make_mesh()
+        img, flow = self._case()
+        ref = grid_sample(img, flow_to_grid(flow), padding_mode="border")
+        out = spatial_sharded_warp(
+            img, flow, mesh, halo=8, padding_mode="border"
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=5e-5
+        )
+
+    def test_matches_unsharded_reflection(self):
+        from pwstablenet_tpu.ops.grid_sample import grid_sample
+        from pwstablenet_tpu.ops.warp import flow_to_grid
+        from pwstablenet_tpu.parallel import make_mesh, spatial_sharded_warp
+
+        mesh = make_mesh()
+        img, flow = self._case(mag=0.2, seed=3)
+        ref = grid_sample(
+            img, flow_to_grid(flow), padding_mode="reflection"
+        )
+        out = spatial_sharded_warp(
+            img, flow, mesh, halo=8, padding_mode="reflection"
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=5e-5
+        )
+
+    def test_output_stays_sharded(self):
+        from pwstablenet_tpu.parallel import make_mesh, spatial_sharded_warp
+
+        mesh = make_mesh()
+        img, flow = self._case()
+        out = spatial_sharded_warp(img, flow, mesh, halo=8)
+        # the result must remain row-sharded (no implicit gather)
+        assert len(out.sharding.device_set) == mesh.devices.size
+
+    def test_rejects_zeros_and_bad_halo(self):
+        import pytest as _pytest
+
+        from pwstablenet_tpu.parallel import make_mesh, spatial_sharded_warp
+
+        mesh = make_mesh()
+        img, flow = self._case()
+        with _pytest.raises(ValueError, match="zeros"):
+            spatial_sharded_warp(img, flow, mesh, padding_mode="zeros")
+        with _pytest.raises(ValueError, match="halo"):
+            spatial_sharded_warp(img, flow, mesh, halo=9)

@@ -148,6 +148,50 @@ def test_torchvision_vgg_import():
         )
 
 
+@pytest.mark.parametrize("interstage", ["both"])
+def test_flax_to_torch_export_roundtrip(interstage):
+    """Reverse converter (flax -> torch): exporting a Flax cascade and
+    loading it into the torch mirror reproduces the same warp maps."""
+    from pwstablenet_tpu.interop import (
+        flax_to_torch_state_dict,
+        torch_state_dict_to_flax,
+    )
+
+    cfg = dataclasses.replace(SMALL, num_stages=2, interstage=interstage)
+    # start from torch weights (nontrivial), convert to flax, export
+    # back, and check the state dicts agree exactly
+    tmodel = TorchCascadedGenerator(cfg)
+    torch.manual_seed(5)
+    for m in tmodel.modules():
+        if isinstance(m, (torch.nn.Conv2d, torch.nn.ConvTranspose2d)):
+            torch.nn.init.normal_(m.weight, std=0.05)
+            torch.nn.init.normal_(m.bias, std=0.02)
+    params = torch_state_dict_to_flax(tmodel.state_dict(), cfg)
+    exported = flax_to_torch_state_dict(params, cfg)
+    orig = {k: np.asarray(v) for k, v in tmodel.state_dict().items()}
+    assert set(exported) == set(orig)
+    for k in orig:
+        np.testing.assert_array_equal(exported[k], orig[k], err_msg=k)
+
+    # and a fresh torch model loaded from the export matches the flax
+    # forward end to end
+    tmodel2 = TorchCascadedGenerator(cfg)
+    tmodel2.load_state_dict(
+        {k: torch.as_tensor(np.ascontiguousarray(v))
+         for k, v in exported.items()}
+    )
+    rng = np.random.default_rng(6)
+    h, w = cfg.model_resolution
+    x = rng.standard_normal((1, h, w, cfg.stack_channels)).astype(np.float32)
+    fflows = CascadedGenerator(cfg).apply(params, jnp.asarray(x))
+    with torch.no_grad():
+        tflows = tmodel2(torch.from_numpy(x).permute(0, 3, 1, 2))
+    for ff, tf in zip(fflows, tflows):
+        np.testing.assert_allclose(
+            np.asarray(ff), tf.permute(0, 2, 3, 1).numpy(), atol=5e-4
+        )
+
+
 def test_converted_checkpoint_roundtrip(tmp_path):
     """Full checkpoint flow: torch.save -> load_torch_checkpoint."""
     from pwstablenet_tpu.interop import load_torch_checkpoint
