@@ -238,7 +238,14 @@ def grid_sample_pallas_padded(
     image_p, grid_p, (h, w), padded = _pad_inputs(
         image, grid, padding_mode, align_corners
     )
-    out = grid_sample_pallas(
+    core = grid_sample_pallas
+    if (
+        image.dtype == jnp.uint8
+        and image.shape[-1] == 3
+        and padding_mode == "border"
+    ):
+        core = grid_sample_pallas_packed  # 3x fewer gathers (see doc)
+    out = core(
         image_p,
         grid_p,
         padding_mode=padding_mode,
@@ -303,6 +310,7 @@ def _sample_kernel(
     padding_mode: str,
     align_corners: bool,
     mode: str = "sample",
+    packed_rgb: bool = False,
 ):
     """Shared kernel body for the forward sample and the grid gradient.
 
@@ -312,6 +320,16 @@ def _sample_kernel(
     (d/dgx, d/dgy) of ``sum(cotangent * sample)`` — the custom-VJP
     backward for the warp's flow input (image gradients are not
     produced; see ``ops.warp.warp_image_fused``).
+
+    packed_rgb (sample mode, channels == 1): the "image" is uint8 RGB
+    packed into int32 lanes (R | G<<8 | B<<16).  The gather/selection
+    sweep — the kernel's dominant cost — then runs ONCE per tap instead
+    of once per channel (3x fewer gathers); channels are unpacked only
+    in the tile epilogue, where the bilinear blend runs per channel in
+    f32 on the 0..255 scale and repacks rounded uint8 results.  Exact
+    vs the float path up to the +-1-code rounding inherent in
+    quantized output (bilinear interpolation commutes with the affine
+    uint8 normalization).
     """
     grid_ref = refs[win_blocks]
     extra = 1 if mode == "grad" else 0
@@ -333,7 +351,7 @@ def _sample_kernel(
     for k in range(win_blocks):
         for c in range(channels):
             win[c, k * br : (k + 1) * br, :] = refs[k][0, c].astype(
-                jnp.float32
+                win.dtype
             )
 
     def subtile(st, _):
@@ -393,6 +411,8 @@ def _sample_kernel(
                 dgx = jnp.zeros((_TILE_ROWS, _LANES), jnp.float32)
                 dgy = jnp.zeros((_TILE_ROWS, _LANES), jnp.float32)
 
+            acc_dtype = jnp.int32 if packed_rgb else jnp.float32
+
             for c in range(channels):
                 def group_step(g, accs, c=c):
                     a00, a01, a10, a11 = accs
@@ -400,8 +420,8 @@ def _sample_kernel(
                     grp = win[c, pl.ds(gb, _TILE_ROWS),
                               cb : cb + nseg * _LANES]
                     for rr in range(_TILE_ROWS):
-                        h0 = jnp.zeros((_TILE_ROWS, _LANES), jnp.float32)
-                        h1 = jnp.zeros((_TILE_ROWS, _LANES), jnp.float32)
+                        h0 = jnp.zeros((_TILE_ROWS, _LANES), acc_dtype)
+                        h1 = jnp.zeros((_TILE_ROWS, _LANES), acc_dtype)
                         for sk in range(nseg):
                             base = sk * _LANES
                             seg = jax.lax.broadcast_in_dim(
@@ -417,6 +437,7 @@ def _sample_kernel(
                             in1 = (lx1 >= base) & (lx1 < base + _LANES)
                             h0 = jnp.where(in0, g0, h0)
                             h1 = jnp.where(in1, g1, h1)
+                        # (h0/h1 carry packed int32 taps when packed_rgb)
                         r = g * _TILE_ROWS + rr
                         sel0 = ly0 == r
                         sel1 = ly0 == r - 1
@@ -426,11 +447,30 @@ def _sample_kernel(
                         a11 = jnp.where(sel1, h1, a11)
                     return (a00, a01, a10, a11)
 
-                zeros = jnp.zeros((_TILE_ROWS, _LANES), jnp.float32)
+                zeros = jnp.zeros((_TILE_ROWS, _LANES), acc_dtype)
                 a00, a01, a10, a11 = jax.lax.fori_loop(
                     gmin, gmax + 1, group_step, (zeros,) * 4
                 )
-                if mode == "sample":
+                if mode == "sample" and packed_rgb:
+                    # unpack the 3 channels from each packed corner,
+                    # blend per channel in f32 (0..255 scale — bilinear
+                    # commutes with the affine normalization), round,
+                    # and repack
+                    outp = jnp.zeros((_TILE_ROWS, _LANES), jnp.int32)
+                    for ch in range(3):
+                        sh = 8 * ch
+                        t00 = ((a00 >> sh) & 0xFF).astype(jnp.float32)
+                        t01 = ((a01 >> sh) & 0xFF).astype(jnp.float32)
+                        t10 = ((a10 >> sh) & 0xFF).astype(jnp.float32)
+                        t11 = ((a11 >> sh) & 0xFF).astype(jnp.float32)
+                        v = w00 * t00 + w01 * t01 + w10 * t10 + w11 * t11
+                        vi = jnp.clip(jnp.round(v), 0.0, 255.0).astype(
+                            jnp.int32
+                        )
+                        outp = outp | (vi << sh)
+                    out_ref[0, c, pl.ds(r0, _TILE_ROWS),
+                            c0 : c0 + _LANES] = outp
+                elif mode == "sample":
                     out = w00 * a00 + w01 * a01 + w10 * a10 + w11 * a11
                     out_ref[0, c, pl.ds(r0, _TILE_ROWS),
                             c0 : c0 + _LANES] = out.astype(out_ref.dtype)
@@ -559,6 +599,112 @@ def grid_sample_pallas(
         interpret=interpret,
     )(*([image_p] * winb), grid_p)
     return jnp.moveaxis(out_p, 1, -1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("padding_mode", "align_corners", "interpret"),
+)
+def grid_sample_pallas_packed(
+    image: Array,
+    grid: Array,
+    padding_mode: str = "border",
+    align_corners: bool = True,
+    interpret: bool = False,
+) -> Array:
+    """uint8-RGB fast path: pack R|G<<8|B<<16 into int32 lanes so the
+    kernel's gather/selection sweep runs once per tap instead of once
+    per channel (~3x fewer VPU ops — the sweep dominates the kernel).
+
+    Only ``border`` (and pre-reflected ``reflection``) semantics:
+    blending raw 0..255 values commutes with the affine uint8
+    normalization exactly when tap weights sum to 1, which ``zeros``
+    violates (a dropped tap must contribute *normalized* zero = gray,
+    not black).  Callers route zeros-mode uint8 through the float
+    kernel (ops/warp.py).
+
+    image: (B, H, W, 3) uint8 -> (B, H, W, 3) uint8.
+    """
+    b, h, w, c = image.shape
+    if c != 3 or image.dtype != jnp.uint8:
+        raise ValueError(
+            f"packed path needs (B,H,W,3) uint8; got {image.shape} "
+            f"{image.dtype}"
+        )
+    if padding_mode != "border":
+        raise ValueError("packed path supports border only (see doc)")
+    if grid.shape != (b, h, w, 2):
+        raise ValueError(
+            f"grid must be (B,H,W,2) at image resolution; got {grid.shape}"
+        )
+    br = _row_block(h)
+    if w % _LANES or br == 0:
+        raise ValueError(
+            f"pallas kernel requires W%{_LANES}==0 and a row-block "
+            f"divisor of H; got ({h}, {w}) — use the padded wrapper"
+        )
+    nb = h // br
+    winb = min(3, nb)
+
+    kernel = functools.partial(
+        _sample_kernel,
+        height=h,
+        width=w,
+        channels=1,
+        block_rows=br,
+        win_blocks=winb,
+        padding_mode=padding_mode,
+        align_corners=align_corners,
+        packed_rgb=True,
+    )
+
+    def shifted(k):
+        def index_map(bi, ti):
+            s = jnp.clip(ti - 1, 0, max(nb - winb, 0))
+            return (bi, 0, s + k, 0)
+
+        return pl.BlockSpec(
+            (1, 1, br, w), index_map, memory_space=pltpu.VMEM
+        )
+
+    in_specs = [shifted(k) for k in range(winb)]
+    in_specs.append(
+        pl.BlockSpec(
+            (1, 2, br, w), lambda bi, ti: (bi, 0, ti, 0),
+            memory_space=pltpu.VMEM,
+        )
+    )
+
+    xi = image.astype(jnp.int32)
+    packed_img = (xi[..., 0] | (xi[..., 1] << 8) | (xi[..., 2] << 16))
+    packed_img = packed_img[:, None]  # (B, 1, H, W) planar, one "channel"
+    grid_p = jnp.moveaxis(grid.astype(jnp.float32), -1, 1)
+    out_p = pl.pallas_call(
+        kernel,
+        grid=(b, nb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, br, w), lambda bi, ti: (bi, 0, ti, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 1, h, w), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((1, winb * br, w), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_BUDGET_BYTES,
+        ),
+        interpret=interpret,
+    )(*([packed_img] * winb), grid_p)
+    out_p = out_p[:, 0]  # (B, H, W) packed
+    return jnp.stack(
+        [
+            (out_p & 0xFF).astype(jnp.uint8),
+            ((out_p >> 8) & 0xFF).astype(jnp.uint8),
+            ((out_p >> 16) & 0xFF).astype(jnp.uint8),
+        ],
+        axis=-1,
+    )
 
 
 @functools.partial(

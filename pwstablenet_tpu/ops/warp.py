@@ -74,10 +74,13 @@ def warp_image(
     The flow is resized to the image resolution if needed, converted to
     an absolute grid, and applied with the fused Pallas gather-interpolate
     kernel on TPU (XLA gather fallback elsewhere / under autodiff)."""
+    from pwstablenet_tpu.ops.pixels import from_unit, to_unit
+
     b, h, w, _ = image.shape
     if flow.shape[1:3] != (h, w):
         flow = resize_flow(flow, h, w)
     grid = flow_to_grid(flow.astype(jnp.float32))
+    is_int = jnp.issubdtype(image.dtype, jnp.integer)
     if use_pallas and _pallas_available():
         from pwstablenet_tpu.kernels.grid_sample_pallas import (
             grid_sample_pallas_padded,
@@ -85,19 +88,34 @@ def warp_image(
         )
 
         if pallas_supported_padded(image.shape, image.dtype):
-            return grid_sample_pallas_padded(
-                image,
+            if (
+                is_int
+                and image.shape[-1] == 3
+                and padding_mode in ("border", "reflection")
+            ):
+                # packed uint8 fast path (3x fewer gathers): uint8 in,
+                # uint8 out, exact up to quantized-output rounding
+                return grid_sample_pallas_padded(
+                    image.astype(jnp.uint8),
+                    grid,
+                    padding_mode=padding_mode,
+                    align_corners=align_corners,
+                )
+            out = grid_sample_pallas_padded(
+                to_unit(image),
                 grid,
                 padding_mode=padding_mode,
                 align_corners=align_corners,
             )
-    return grid_sample(
-        image,
+            return from_unit(out) if is_int else out
+    out = grid_sample(
+        to_unit(image) if is_int else image,
         grid,
         mode="bilinear",
         padding_mode=padding_mode,
         align_corners=align_corners,
     )
+    return from_unit(out) if is_int else out
 
 
 @functools.cache

@@ -114,7 +114,10 @@ class Stabilizer:
                 stacks = jax.lax.with_sharding_constraint(stacks, shard)
             flows = self.model.apply(params, stacks)
             flow = flows[-1]  # final cascade stage
-            centers = framesf[T // 2 : T // 2 + n]
+            # warp the RAW center frames: for uint8 input, warp_image
+            # takes the packed fast path and returns uint8 directly (no
+            # f32 frame materialization, no requantize pass)
+            centers = frames[T // 2 : T // 2 + n]
             with jax.named_scope("fused_warp"):
                 stabilized = warp_image(
                     centers,
@@ -123,7 +126,9 @@ class Stabilizer:
                     align_corners=cfg.align_corners,
                     use_pallas=use_pallas,
                 )
-            if is_int:
+            if is_int and not jnp.issubdtype(
+                stabilized.dtype, jnp.integer
+            ):
                 stabilized = from_unit(stabilized)
             flow = flow.astype(jnp.dtype(self.pipeline_cfg.warp_field_dtype))
             return stabilized, flow

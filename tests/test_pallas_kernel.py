@@ -248,3 +248,68 @@ def test_kernel_rejects_bad_shapes():
     grid = jnp.zeros((1, 250, 128, 2))
     with pytest.raises(ValueError, match="row-block"):
         grid_sample_pallas(img, grid)
+
+
+def test_packed_uint8_matches_quantized_oracle():
+    """Packed-RGB uint8 path (one gather for all 3 channels): equal to
+    normalize -> oracle -> requantize within the +-1-code rounding of
+    quantized output."""
+    from pwstablenet_tpu.kernels.grid_sample_pallas import (
+        grid_sample_pallas_packed,
+    )
+
+    rng = np.random.default_rng(20)
+    img_u8 = rng.integers(0, 256, (2, 16, 128, 3), np.uint8)
+    lf = (rng.random((2, 4, 4, 2), np.float32) - 0.5) * 0.3
+    flow = jax.image.resize(jnp.asarray(lf), (2, 16, 128, 2), "bilinear")
+    grid = flow_to_grid(flow)
+
+    imgf = jnp.asarray(img_u8).astype(jnp.float32) / 127.5 - 1.0
+    ref = grid_sample(imgf, grid, padding_mode="border")
+    ref_u8 = np.clip(
+        (np.asarray(ref) + 1.0) * 127.5, 0, 255
+    ).round().astype(np.int16)
+
+    out = grid_sample_pallas_packed(
+        jnp.asarray(img_u8), grid, interpret=True
+    )
+    assert out.dtype == jnp.uint8
+    diff = np.abs(np.asarray(out).astype(np.int16) - ref_u8)
+    assert diff.max() <= 1, diff.max()
+
+
+def test_packed_uint8_padded_geometry():
+    """Packed path through the padded wrapper at an off-lane width."""
+    from pwstablenet_tpu.kernels.grid_sample_pallas import (
+        grid_sample_pallas_padded,
+    )
+
+    rng = np.random.default_rng(21)
+    img_u8 = rng.integers(0, 256, (1, 16, 96, 3), np.uint8)
+    lf = (rng.random((1, 4, 4, 2), np.float32) - 0.5) * 0.3
+    flow = jax.image.resize(jnp.asarray(lf), (1, 16, 96, 2), "bilinear")
+    grid = flow_to_grid(flow)
+
+    imgf = jnp.asarray(img_u8).astype(jnp.float32) / 127.5 - 1.0
+    ref = grid_sample(imgf, grid, padding_mode="border")
+    ref_u8 = np.clip(
+        (np.asarray(ref) + 1.0) * 127.5, 0, 255
+    ).round().astype(np.int16)
+
+    out = grid_sample_pallas_padded(
+        jnp.asarray(img_u8), grid, padding_mode="border", interpret=True
+    )
+    assert out.dtype == jnp.uint8
+    diff = np.abs(np.asarray(out).astype(np.int16) - ref_u8)
+    assert diff.max() <= 1, diff.max()
+
+
+def test_packed_uint8_rejects_zeros_mode():
+    from pwstablenet_tpu.kernels.grid_sample_pallas import (
+        grid_sample_pallas_packed,
+    )
+
+    img = jnp.zeros((1, 16, 128, 3), jnp.uint8)
+    grid = jnp.zeros((1, 16, 128, 2), jnp.float32)
+    with pytest.raises(ValueError, match="border only"):
+        grid_sample_pallas_packed(img, grid, padding_mode="zeros")
