@@ -72,6 +72,25 @@ def _parity_gates(rng, results) -> float:
     pmse = float(jnp.mean((outp - refp) ** 2))
     results["pallas_padded_vs_oracle_mse"] = pmse
     log(f"pallas padded-width parity MSE: {pmse:.3e} (gate: <=1e-6)")
+
+    # packed-uint8 path: +-1 output code allowed (quantized rounding)
+    from pwstablenet_tpu.kernels.grid_sample_pallas import (
+        grid_sample_pallas_packed,
+    )
+
+    img_u8 = rng.integers(0, 256, (2, 64, 256, 3), np.uint8)
+    imgf = jnp.asarray(img_u8).astype(jnp.float32) / 127.5 - 1.0
+    ref8 = np.clip(
+        (np.asarray(grid_sample(imgf, grid)) + 1.0) * 127.5, 0, 255
+    ).round().astype(np.int16)
+    out8 = grid_sample_pallas_packed(jnp.asarray(img_u8), grid)
+    codediff = int(
+        np.abs(np.asarray(out8).astype(np.int16) - ref8).max()
+    )
+    results["pallas_packed_max_code_diff"] = codediff
+    log(f"pallas packed-uint8 parity: max code diff {codediff} (gate: <=1)")
+    if codediff > 1:
+        return 1.0  # force the parity-failure path
     return max(mse, gmse, pmse)
 
 
@@ -114,9 +133,25 @@ def main() -> int:
     dt = device_time(
         lambda f: step(stab.params, f, use_pallas), (frames_720,), iters=10
     )
-    fps_720 = n / dt
-    results["fps_720p_device"] = fps_720
+    results["fps_720p_device_n8"] = n / dt
     log(f"config 3 (720p e2e device path): {dt*1e3:.2f} ms/chunk{n} "
+        f"= {n/dt:.0f} frames/sec/chip")
+
+    # throughput config: 16 windows/chunk amortizes the UNet's small
+    # deep levels over a fuller MXU (saturates by n=32 at ~same fps)
+    stab16 = Stabilizer(
+        model_cfg, PipelineConfig(batch_windows=16), params=stab.params
+    )
+    frames_720_16 = jnp.asarray(
+        _quantize(rng.random((16 + T - 1, 720, 1280, 3), np.float32) * 2 - 1)
+    )
+    dt16 = device_time(
+        lambda f: stab16._chunk_step(stab16.params, f, use_pallas),
+        (frames_720_16,), iters=8,
+    )
+    fps_720 = 16 / dt16
+    results["fps_720p_device"] = fps_720
+    log(f"config 3 (720p e2e, 16-window chunks): {dt16*1e3:.2f} ms/chunk16 "
         f"= {fps_720:.0f} frames/sec/chip")
 
     # MFU estimate: analytic module flops / device time / bf16 peak

@@ -35,8 +35,13 @@ class InstanceNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         xf = x.astype(jnp.float32)
+        # one-pass statistics: E[x] and E[x^2] reduce in the SAME fused
+        # sweep over the activation (the centered two-pass form costs an
+        # extra full HBM read per norm; f32 accumulation keeps
+        # E[x^2]-mu^2 well-conditioned for post-conv activations)
         mu = jnp.mean(xf, axis=(1, 2), keepdims=True)
-        var = jnp.mean(jnp.square(xf - mu), axis=(1, 2), keepdims=True)
+        ex2 = jnp.mean(jnp.square(xf), axis=(1, 2), keepdims=True)
+        var = jnp.maximum(ex2 - jnp.square(mu), 0.0)
         y = (xf - mu) * jax.lax.rsqrt(var + self.epsilon)
         return (y * scale + bias).astype(self.dtype)
 
