@@ -81,8 +81,22 @@ def make_train_step(
                 }
             return gen.apply(params, x, **kwargs)
 
+        # ---------------- shared generator forward -----------------
+        # The D step needs G's (detached) outputs and the G step needs
+        # the same outputs under autodiff — the flows are identical
+        # values either way (G's params don't change in between), so
+        # the forward runs ONCE through jax.vjp: its primal feeds the D
+        # update detached, and its pullback turns dL/dflows from the G
+        # loss (computed against the UPDATED discriminator) into
+        # parameter gradients.  Mathematically identical to the
+        # reference's recompute-twice alternating scheme, one full G
+        # forward cheaper per step.
+        flows, g_pullback = jax.vjp(
+            lambda p: g_apply(p, stacks), state.g_params
+        )
+
         # ---------------- D update (fake detached) ----------------
-        flows_detached = jax.lax.stop_gradient(g_apply(state.g_params, stacks))
+        flows_detached = jax.lax.stop_gradient(flows)
         fake_frames = jax.lax.stop_gradient(
             warp_stages(flows_detached, center)[-1]
         )
@@ -107,9 +121,8 @@ def make_train_step(
         # ---------------- G update (against updated D) -------------
         feats_target = feat.apply(state.feat_params, stable)
 
-        def g_loss_fn(g_params):
-            flows = g_apply(g_params, stacks)
-            warped = warp_stages(flows, center)
+        def g_loss_from_flows(flows_in):
+            warped = warp_stages(flows_in, center)
 
             per_stage, terms_last = [], {}
             for s, w_s in enumerate(warped):
@@ -123,7 +136,7 @@ def make_train_step(
                 tmp = losses.temporal_loss(
                     w_s.reshape((-1, 2) + w_s.shape[1:])
                 )
-                reg = losses.warp_smoothness_loss(flows[s])
+                reg = losses.warp_smoothness_loss(flows_in[s])
                 stage_total = (
                     adv
                     + train_cfg.w_pixel * pix
@@ -141,9 +154,10 @@ def make_train_step(
             )
             return total, terms_last
 
-        (g_loss, terms), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True
-        )(state.g_params)
+        (g_loss, terms), dflows = jax.value_and_grad(
+            g_loss_from_flows, has_aux=True
+        )(flows)
+        (g_grads,) = g_pullback(dflows)
         g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
         g_params = jax.tree_util.tree_map(
             lambda p, u: p + u, state.g_params, g_updates
