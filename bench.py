@@ -243,6 +243,18 @@ def main() -> int:
         f"/chunk{n} = {n/dt1080:.0f} frames/sec/chip "
         f"(pallas: {use_pallas_1080})")
 
+    # capability headroom: 4K (2160x3840) single-chip device path
+    frames_4k = jnp.asarray(
+        (rng.integers(0, 256, (n + T - 1, 2160, 3840, 3))).astype(np.uint8)
+    )
+    use_pallas_4k = stab._pallas_ok(frames_4k.shape)
+    dt4k = device_time(
+        lambda f: step(stab.params, f, use_pallas_4k), (frames_4k,), iters=3
+    )
+    results["fps_4k_device"] = n / dt4k
+    log(f"4K device path: {dt4k*1e3:.2f} ms/chunk{n} "
+        f"= {n/dt4k:.0f} frames/sec/chip (pallas: {use_pallas_4k})")
+
     # ---- configs 4 + 5 (training half): adversarial train step through
     # the data-parallel path (mesh engaged; on one chip the trivial mesh
     # IS the plain step, on the 8-way CPU mesh it exercises the
