@@ -10,3 +10,7 @@ from pwstablenet_tpu.parallel.mesh import (  # noqa: F401
 from pwstablenet_tpu.parallel.spatial import (  # noqa: F401
     spatial_sharded_warp,
 )
+from pwstablenet_tpu.parallel.multihost import (  # noqa: F401
+    maybe_initialize_distributed,
+    process_info,
+)

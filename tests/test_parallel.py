@@ -206,3 +206,16 @@ class TestSpatialShardedWarp:
             spatial_sharded_warp(img, flow, mesh, padding_mode="zeros")
         with _pytest.raises(ValueError, match="halo"):
             spatial_sharded_warp(img, flow, mesh, halo=9)
+
+
+def test_multihost_noop_and_info():
+    """Single-process: initialization is a no-op; topology info sane."""
+    from pwstablenet_tpu.parallel import (
+        maybe_initialize_distributed,
+        process_info,
+    )
+
+    assert maybe_initialize_distributed() is False
+    info = process_info()
+    assert info["process_count"] == 1
+    assert info["global_devices"] == 8  # the virtual CPU mesh
