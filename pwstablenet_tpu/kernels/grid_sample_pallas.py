@@ -239,11 +239,14 @@ def grid_sample_pallas_padded(
         image, grid, padding_mode, align_corners
     )
     core = grid_sample_pallas
-    if (
-        image.dtype == jnp.uint8
-        and image.shape[-1] == 3
-        and padding_mode == "border"
-    ):
+    if jnp.issubdtype(image.dtype, jnp.integer):
+        if not (image.dtype == jnp.uint8 and image.shape[-1] == 3
+                and padding_mode == "border"):
+            raise ValueError(
+                "integer images are served by the packed path only for "
+                "uint8 RGB with border/reflection padding; normalize "
+                "first (ops.pixels.to_unit) for other combinations"
+            )
         core = grid_sample_pallas_packed  # 3x fewer gathers (see doc)
     out = core(
         image_p,
@@ -541,6 +544,11 @@ def grid_sample_pallas(
         )
     if padding_mode not in ("border", "zeros"):
         raise ValueError("pallas kernel supports border/zeros padding")
+    if jnp.issubdtype(image.dtype, jnp.integer):
+        raise ValueError(
+            "float kernel got integer image: use grid_sample_pallas_packed"
+            " (uint8 RGB, border) or normalize first (ops.pixels.to_unit)"
+        )
     br = _row_block(h)
     if w % _LANES or br == 0:
         raise ValueError(

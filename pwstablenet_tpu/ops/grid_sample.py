@@ -175,6 +175,12 @@ def grid_sample(
             f"expected image (B,H,W,C) and grid (B,Ho,Wo,2); got "
             f"{image.shape} and {grid.shape}"
         )
+    if jnp.issubdtype(jnp.result_type(image), jnp.integer):
+        raise ValueError(
+            "grid_sample is the float oracle (output casts would "
+            "truncate integers) — normalize with ops.pixels.to_unit, or "
+            "use ops.warp.warp_image which handles uint8 end to end"
+        )
     fn = functools.partial(
         _grid_sample_single,
         mode=mode,

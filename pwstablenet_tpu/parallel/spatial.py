@@ -61,6 +61,16 @@ def _local_sample(img_ext, grid_local, padding_mode, align_corners):
                 img_ext, grid_local,
                 padding_mode=padding_mode, align_corners=align_corners,
             )
+    if jnp.issubdtype(img_ext.dtype, jnp.integer):
+        # oracle path for uint8 shards: blend raw 0..255 in f32 and
+        # round (plain astype would truncate); border semantics make
+        # this exactly the packed kernel's arithmetic
+        out = grid_sample(
+            img_ext.astype(jnp.float32), grid_local,
+            mode="bilinear", padding_mode=padding_mode,
+            align_corners=align_corners,
+        )
+        return jnp.clip(jnp.round(out), 0.0, 255.0).astype(img_ext.dtype)
     return grid_sample(
         img_ext, grid_local,
         mode="bilinear", padding_mode=padding_mode,

@@ -313,3 +313,18 @@ def test_packed_uint8_rejects_zeros_mode():
     grid = jnp.zeros((1, 16, 128, 2), jnp.float32)
     with pytest.raises(ValueError, match="border only"):
         grid_sample_pallas_packed(img, grid, padding_mode="zeros")
+
+
+def test_integer_input_guards():
+    """uint8 never silently reaches the float kernel (truncation) or
+    the packed path with zeros semantics (normalized-zero mismatch)."""
+    from pwstablenet_tpu.kernels.grid_sample_pallas import (
+        grid_sample_pallas_padded,
+    )
+
+    img = jnp.zeros((1, 16, 128, 3), jnp.uint8)
+    grid = jnp.zeros((1, 16, 128, 2), jnp.float32)
+    with pytest.raises(ValueError, match="integer image"):
+        grid_sample_pallas(img, grid)
+    with pytest.raises(ValueError, match="normalize"):
+        grid_sample_pallas_padded(img, grid, padding_mode="zeros")

@@ -219,3 +219,30 @@ def test_multihost_noop_and_info():
     info = process_info()
     assert info["process_count"] == 1
     assert info["global_devices"] == 8  # the virtual CPU mesh
+
+
+def test_spatial_sharded_warp_uint8():
+    """uint8 shards: rounded (not truncated) outputs, matching the
+    normalize->warp->requantize reference within 1 code."""
+    import jax.numpy as jnp
+
+    from pwstablenet_tpu.ops.grid_sample import grid_sample
+    from pwstablenet_tpu.ops.warp import flow_to_grid
+    from pwstablenet_tpu.parallel import make_mesh, spatial_sharded_warp
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(9)
+    img_u8 = rng.integers(0, 256, (1, 64, 128, 3), np.uint8)
+    lf = (rng.random((1, 4, 4, 2), np.float32) - 0.5) * 0.2
+    flow = jax.image.resize(jnp.asarray(lf), (1, 64, 128, 2), "bilinear")
+
+    out = spatial_sharded_warp(jnp.asarray(img_u8), flow, mesh, halo=8)
+    assert np.asarray(out).dtype == np.uint8
+
+    imgf = jnp.asarray(img_u8).astype(jnp.float32) / 127.5 - 1.0
+    ref = grid_sample(imgf, flow_to_grid(flow), padding_mode="border")
+    ref_u8 = np.clip(
+        (np.asarray(ref) + 1.0) * 127.5, 0, 255
+    ).round().astype(np.int16)
+    diff = np.abs(np.asarray(out).astype(np.int16) - ref_u8)
+    assert diff.max() <= 1, diff.max()
