@@ -98,3 +98,21 @@ def test_params_export_import(tmp_path):
         jax.tree_util.tree_leaves(loaded),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_scalar_log_file(tmp_path):
+    """TrainConfig.scalar_log_path (SURVEY 5.5): the same JSONL scalars
+    land in the file."""
+    import json
+
+    from pwstablenet_tpu.train.loop import synthetic_batch_iterator
+
+    log_path = str(tmp_path / "scalars.jsonl")
+    cfg = _tcfg(
+        tmp_path, steps_per_epoch=2, log_every=1, scalar_log_path=log_path
+    )
+    it = synthetic_batch_iterator(TINY, cfg)
+    train(TINY, cfg, it, max_steps=2)
+    lines = [json.loads(l) for l in open(log_path)]
+    assert len(lines) == 2
+    assert {"loss_g", "loss_d", "step"} <= set(lines[0])

@@ -122,3 +122,20 @@ def test_prefetcher_order_and_errors():
 
     with pytest.raises(RuntimeError, match="decode failed"):
         list(video_io.Prefetcher(bad(), depth=1))
+
+
+def test_warp_field_dtype_float16(clip):
+    """PipelineConfig.warp_field_dtype: fp16 flow transport matches the
+    f32 flows within fp16 precision."""
+    stab32 = Stabilizer(SMALL, PipelineConfig(batch_windows=4))
+    _, flows32 = stab32.stabilize_frames(clip)
+    stab16 = Stabilizer(
+        SMALL,
+        PipelineConfig(batch_windows=4, warp_field_dtype="float16"),
+        params=stab32.params,
+    )
+    _, flows16 = stab16.stabilize_frames(clip)
+    assert flows16.dtype == np.float16
+    np.testing.assert_allclose(
+        flows16.astype(np.float32), flows32, atol=1e-3
+    )
