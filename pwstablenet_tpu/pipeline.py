@@ -213,7 +213,14 @@ class Stabilizer:
                 output_path, fps, (h, w), cfg.output_codec
             )
 
-        all_flows = []
+        # warp fields stream to disk chunk by chunk (O(chunk) memory —
+        # buffering an hour of flows would be tens of GB; see
+        # data/warp_fields.py)
+        flow_writer = None
+        if cfg.emit_warp_fields and warp_field_path:
+            from pwstablenet_tpu.data.warp_fields import WarpFieldWriter
+
+            flow_writer = WarpFieldWriter(warp_field_path)
         count = 0
         try:
             for stabilized, flow in self._stream(
@@ -223,15 +230,14 @@ class Stabilizer:
                 stabilized = self._border_crop(stabilized)
                 writer.write(stabilized)
                 count += stabilized.shape[0]
-                if cfg.emit_warp_fields:
-                    all_flows.append(flow)
+                if flow_writer is not None:
+                    flow_writer.write(flow)
         finally:
             writer.close()
+            if flow_writer is not None:
+                flow_writer.close()
         result = {"frames": count, "fps": fps, "output": output_path}
-        if cfg.emit_warp_fields and warp_field_path:
-            np.savez_compressed(
-                warp_field_path, warp_fields=np.concatenate(all_flows)
-            )
+        if flow_writer is not None:
             result["warp_fields"] = warp_field_path
         return result
 

@@ -80,3 +80,29 @@ def test_stability_report_keys():
     }
     assert 0 < rep["cropping_ratio"] < 2
     assert 0 < rep["distortion_value"] <= 1.001
+
+
+def test_warp_field_writer_roundtrip(tmp_path):
+    """Streaming warp-field archive: chunked writes, one concatenated
+    load; legacy single-key archives still load."""
+    from pwstablenet_tpu.data.warp_fields import (
+        WarpFieldWriter,
+        load_warp_fields,
+    )
+
+    rng = np.random.default_rng(0)
+    chunks = [rng.standard_normal((n, 8, 8, 2)).astype(np.float32)
+              for n in (4, 4, 2)]
+    path = str(tmp_path / "wf.npz")
+    with WarpFieldWriter(path) as w:
+        for c in chunks:
+            w.write(c)
+    assert w.frames == 10
+    got = load_warp_fields(path)
+    np.testing.assert_array_equal(got, np.concatenate(chunks))
+
+    legacy = str(tmp_path / "legacy.npz")
+    np.savez_compressed(legacy, warp_fields=np.concatenate(chunks))
+    np.testing.assert_array_equal(
+        load_warp_fields(legacy), np.concatenate(chunks)
+    )

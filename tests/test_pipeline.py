@@ -98,7 +98,9 @@ def test_video_file_roundtrip(tmp_path, clip):
     assert decoded.shape[0] == clip.shape[0]
     assert decoded.shape[1:] == clip.shape[1:]
 
-    flows = np.load(wf)["warp_fields"]
+    from pwstablenet_tpu.data.warp_fields import load_warp_fields
+
+    flows = load_warp_fields(wf)
     assert flows.shape == (clip.shape[0], 32, 32, 2)
 
 
