@@ -108,7 +108,7 @@ class TrainConfig:
     # per-stage supervision weights, later stages higher (SURVEY.md C15)
     stage_weights: Tuple[float, ...] = (0.5, 1.0)
 
-    gan_loss: str = "lsgan"           # lsgan | vanilla
+    gan_loss: str = "lsgan"           # lsgan | vanilla | hinge
 
     seed: int = 0
     log_every: int = 50

@@ -105,6 +105,49 @@ def cropping_ratio_and_distortion(
     }
 
 
+def psnr(pred: np.ndarray, target: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB over [-1, 1] frames (peak 2.0).
+
+    Fidelity metric for synthetic evaluations where a ground-truth
+    stable clip exists (real DeepStab eval uses the trio above — GT and
+    output differ by a global camera path, so PSNR is only meaningful
+    against aligned targets)."""
+    p = pred.astype(np.float32)
+    t = target.astype(np.float32)
+    mse = float(np.mean((p - t) ** 2))
+    if mse <= 1e-12:
+        return float("inf")
+    return float(10.0 * np.log10(4.0 / mse))
+
+
+def ssim(pred: np.ndarray, target: np.ndarray) -> float:
+    """Mean structural similarity over frames ([-1, 1] range, 8x8 box
+    window — the classic Wang et al. constants scaled to range 2)."""
+    import cv2
+
+    L = 2.0
+    c1, c2 = (0.01 * L) ** 2, (0.03 * L) ** 2
+    vals = []
+    for p, t in zip(
+        pred.astype(np.float32), target.astype(np.float32)
+    ):
+        for ch in range(p.shape[-1]):
+            x, y = p[..., ch], t[..., ch]
+            mx = cv2.blur(x, (8, 8))
+            my = cv2.blur(y, (8, 8))
+            mxy = cv2.blur(x * y, (8, 8))
+            mxx = cv2.blur(x * x, (8, 8))
+            myy = cv2.blur(y * y, (8, 8))
+            vx = mxx - mx * mx
+            vy = myy - my * my
+            cxy = mxy - mx * my
+            s = ((2 * mx * my + c1) * (2 * cxy + c2)) / (
+                (mx * mx + my * my + c1) * (vx + vy + c2)
+            )
+            vals.append(float(s.mean()))
+    return float(np.mean(vals)) if vals else 1.0
+
+
 def stability_report(
     stabilized: np.ndarray, original: Optional[np.ndarray] = None
 ) -> Dict[str, float]:
@@ -116,3 +159,14 @@ def stability_report(
             cropping_ratio_and_distortion(original, stabilized)
         )
     return report
+
+
+def fidelity_report(
+    stabilized: np.ndarray, ground_truth: np.ndarray
+) -> Dict[str, float]:
+    """PSNR/SSIM against an ALIGNED ground-truth stable clip (synthetic
+    evaluations; see ``psnr`` for why real DeepStab uses the trio)."""
+    return {
+        "psnr_db": psnr(stabilized, ground_truth),
+        "ssim": ssim(stabilized, ground_truth),
+    }

@@ -38,6 +38,11 @@ def gan_loss_d(
             jnp.mean(_bce_with_logits(real, 1.0))
             + jnp.mean(_bce_with_logits(fake, 0.0))
         )
+    if kind == "hinge":
+        return 0.5 * (
+            jnp.mean(jax.nn.relu(1.0 - real))
+            + jnp.mean(jax.nn.relu(1.0 + fake))
+        )
     raise ValueError(f"unknown gan loss {kind!r}")
 
 
@@ -48,6 +53,8 @@ def gan_loss_g(fake_logits: Array, kind: str = "lsgan") -> Array:
         return jnp.mean((fake - 1.0) ** 2)
     if kind == "vanilla":
         return jnp.mean(_bce_with_logits(fake, 1.0))
+    if kind == "hinge":
+        return -jnp.mean(fake)
     raise ValueError(f"unknown gan loss {kind!r}")
 
 

@@ -106,3 +106,21 @@ def test_warp_field_writer_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         load_warp_fields(legacy), np.concatenate(chunks)
     )
+
+
+def test_fidelity_metrics():
+    """PSNR/SSIM: identical clips score perfectly; noise degrades both
+    monotonically."""
+    from pwstablenet_tpu.eval import fidelity_report, psnr, ssim
+
+    rng = np.random.default_rng(4)
+    clip = rng.random((4, 32, 32, 3)).astype(np.float32) * 2 - 1
+    assert psnr(clip, clip) == float("inf")
+    assert ssim(clip, clip) > 0.999
+
+    light = np.clip(clip + rng.normal(0, 0.02, clip.shape), -1, 1)
+    heavy = np.clip(clip + rng.normal(0, 0.2, clip.shape), -1, 1)
+    rep_l = fidelity_report(light.astype(np.float32), clip)
+    rep_h = fidelity_report(heavy.astype(np.float32), clip)
+    assert rep_l["psnr_db"] > rep_h["psnr_db"] > 10.0
+    assert rep_l["ssim"] > rep_h["ssim"] > 0.0

@@ -97,8 +97,12 @@ def test_frozen_feature_extractor(setup):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_vanilla_gan_variant():
-    cfg = dataclasses.replace(TCFG, gan_loss="vanilla")
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("kind", ["vanilla", "hinge"])
+def test_gan_loss_variants(kind):
+    cfg = dataclasses.replace(TCFG, gan_loss=kind)
     state, (gen, disc, feat) = create_train_state(
         TINY, cfg, jax.random.PRNGKey(1)
     )
