@@ -110,6 +110,11 @@ class TrainConfig:
 
     gan_loss: str = "lsgan"           # lsgan | vanilla | hinge
 
+    # micro-batch gradient accumulation: grads average over
+    # batch_size/grad_accum_steps-sized micro-batches before ONE G and
+    # ONE D update (large effective batches within one chip's HBM)
+    grad_accum_steps: int = 1
+
     seed: int = 0
     log_every: int = 50
     # optional JSONL scalar log file in addition to stdout

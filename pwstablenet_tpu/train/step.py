@@ -64,6 +64,11 @@ def make_train_step(
             for f in flows
         ]
 
+    if train_cfg.grad_accum_steps > 1:
+        return _make_accum_train_step(
+            model_cfg, train_cfg, gen, disc, feat, g_tx, d_tx, warp_stages
+        )
+
     def train_step(
         state: TrainState, batch: Dict[str, Array]
     ) -> Tuple[TrainState, Dict[str, Array]]:
@@ -158,6 +163,187 @@ def make_train_step(
             g_loss_from_flows, has_aux=True
         )(flows)
         (g_grads,) = g_pullback(dflows)
+        g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
+        g_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.g_params, g_updates
+        )
+
+        metrics = {
+            "loss_d": d_loss,
+            "loss_g": g_loss,
+            "grad_norm_g": optax_global_norm(g_grads),
+            "grad_norm_d": optax_global_norm(d_grads),
+            **terms,
+        }
+        new_state = state.replace(
+            step=state.step + 1,
+            g_params=g_params,
+            d_params=d_params,
+            g_opt=g_opt,
+            d_opt=d_opt,
+            rng=rng,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def _make_accum_train_step(
+    model_cfg, train_cfg, gen, disc, feat, g_tx, d_tx, warp_stages
+):
+    """Gradient-accumulation variant (TrainConfig.grad_accum_steps > 1).
+
+    The global batch splits into micro-batches scanned on device:
+    phase 1 accumulates discriminator gradients (generator outputs
+    detached) and applies ONE D update; phase 2 re-runs the generator
+    per micro-batch under autodiff against the UPDATED discriminator,
+    accumulates, and applies ONE G update.  Gradients are means over
+    micro-batches — identical in expectation to a single large batch,
+    at O(micro-batch) activation memory (the shared-vjp forward of the
+    unaccumulated step would require keeping every micro-batch's
+    residuals, defeating the purpose, so the generator forward runs in
+    both phases here).
+    """
+    accum = train_cfg.grad_accum_steps
+
+    def prepare(batch):
+        stacks = to_unit(_fold(batch["stacks"]))
+        stable = to_unit(_fold(batch["stable"]))
+        if stacks.shape[0] % accum:
+            raise ValueError(
+                f"2*batch_size ({stacks.shape[0]}) must divide "
+                f"grad_accum_steps ({accum})"
+            )
+
+        def split(x):
+            return x.reshape((accum, -1) + x.shape[1:])
+
+        return split(stacks), split(stable)
+
+    def train_step(state, batch):
+        stacks_mb, stable_mb = prepare(batch)
+        rng, drop_rng = jax.random.split(state.rng)
+
+        def g_apply(params, x):
+            kwargs = {}
+            if model_cfg.use_dropout:
+                kwargs = {
+                    "deterministic": False,
+                    "rngs": {"dropout": drop_rng},
+                }
+            return gen.apply(params, x, **kwargs)
+
+        zeros_like_tree = lambda t: jax.tree_util.tree_map(  # noqa: E731
+            lambda x: jnp.zeros_like(x, jnp.float32), t
+        )
+
+        # ---------------- phase 1: D gradient accumulation ----------
+        def d_micro(carry, mb):
+            stacks, stable = mb
+            center = _center(stacks, model_cfg)
+            flows = jax.lax.stop_gradient(g_apply(state.g_params, stacks))
+            fake = jax.lax.stop_gradient(
+                warp_stages(flows, center)[-1]
+            )
+
+            def d_loss_fn(d_params):
+                real_logits = disc.apply(
+                    d_params, jnp.concatenate([center, stable], axis=-1)
+                )
+                fake_logits = disc.apply(
+                    d_params, jnp.concatenate([center, fake], axis=-1)
+                )
+                return losses.gan_loss_d(
+                    real_logits, fake_logits, train_cfg.gan_loss
+                )
+
+            loss, grads = jax.value_and_grad(d_loss_fn)(state.d_params)
+            acc_l, acc_g = carry
+            return (
+                acc_l + loss / accum,
+                jax.tree_util.tree_map(
+                    lambda a, g: a + g / accum, acc_g, grads
+                ),
+            ), None
+
+        (d_loss, d_grads), _ = jax.lax.scan(
+            d_micro,
+            (jnp.zeros((), jnp.float32), zeros_like_tree(state.d_params)),
+            (stacks_mb, stable_mb),
+        )
+        d_updates, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
+        d_params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.d_params, d_updates
+        )
+
+        # ---------------- phase 2: G gradient accumulation ----------
+        def g_micro(carry, mb):
+            stacks, stable = mb
+            center = _center(stacks, model_cfg)
+            feats_target = feat.apply(state.feat_params, stable)
+
+            def g_loss_fn(g_params):
+                flows = g_apply(g_params, stacks)
+                warped = warp_stages(flows, center)
+                per_stage, terms_last = [], {}
+                for s, w_s in enumerate(warped):
+                    fake_logits = disc.apply(
+                        d_params, jnp.concatenate([center, w_s], axis=-1)
+                    )
+                    adv = losses.gan_loss_g(
+                        fake_logits, train_cfg.gan_loss
+                    )
+                    pix = losses.pixel_loss(w_s, stable)
+                    per = losses.feature_loss(
+                        feat.apply(state.feat_params, w_s), feats_target
+                    )
+                    tmp = losses.temporal_loss(
+                        w_s.reshape((-1, 2) + w_s.shape[1:])
+                    )
+                    reg = losses.warp_smoothness_loss(flows[s])
+                    per_stage.append(
+                        adv
+                        + train_cfg.w_pixel * pix
+                        + train_cfg.w_feature * per
+                        + train_cfg.w_temporal * tmp
+                        + train_cfg.w_warp_reg * reg
+                    )
+                    terms_last = {
+                        "adv": adv, "pixel": pix, "feature": per,
+                        "temporal": tmp, "warp_reg": reg,
+                    }
+                total = losses.stage_weighted(
+                    per_stage, train_cfg.stage_weights[: len(per_stage)]
+                )
+                return total, terms_last
+
+            (loss, terms), grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True
+            )(state.g_params)
+            acc_l, acc_g, acc_t = carry
+            return (
+                acc_l + loss / accum,
+                jax.tree_util.tree_map(
+                    lambda a, g: a + g / accum, acc_g, grads
+                ),
+                jax.tree_util.tree_map(
+                    lambda a, t: a + t / accum, acc_t, terms
+                ),
+            ), None
+
+        zero_terms = {
+            k: jnp.zeros((), jnp.float32)
+            for k in ("adv", "pixel", "feature", "temporal", "warp_reg")
+        }
+        (g_loss, g_grads, terms), _ = jax.lax.scan(
+            g_micro,
+            (
+                jnp.zeros((), jnp.float32),
+                zeros_like_tree(state.g_params),
+                zero_terms,
+            ),
+            (stacks_mb, stable_mb),
+        )
         g_updates, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
         g_params = jax.tree_util.tree_map(
             lambda p, u: p + u, state.g_params, g_updates

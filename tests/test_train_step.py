@@ -113,3 +113,42 @@ def test_gan_loss_variants(kind):
     _, metrics = step(state, batch)
     assert np.isfinite(float(metrics["loss_d"]))
     assert np.isfinite(float(metrics["loss_g"]))
+
+
+def test_grad_accumulation_matches_full_batch():
+    """grad_accum_steps=2: accumulated micro-batch gradients equal the
+    full-batch step (all losses are batch means, so the means of
+    micro-gradients reproduce the full gradient exactly up to float
+    reordering; Adam's first-step sign sensitivity bounds the param
+    tolerance at ~2*lr for near-zero gradients)."""
+    cfg_full = dataclasses.replace(TCFG, batch_size=4)
+    cfg_acc = dataclasses.replace(TCFG, batch_size=4, grad_accum_steps=2)
+    state, (gen, disc, feat) = create_train_state(
+        TINY, cfg_full, jax.random.PRNGKey(3)
+    )
+    batch = jax.tree_util.tree_map(
+        jnp.asarray, make_train_batch(4, 32, 32, TINY.temporal_window, seed=9)
+    )
+    full = jax.jit(make_train_step(TINY, cfg_full, gen, disc, feat))
+    acc = jax.jit(make_train_step(TINY, cfg_acc, gen, disc, feat))
+
+    s_full, m_full = full(state, batch)
+    s_acc, m_acc = acc(state, batch)
+    np.testing.assert_allclose(
+        float(m_full["loss_d"]), float(m_acc["loss_d"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(m_full["loss_g"]), float(m_acc["loss_g"]), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(m_full["grad_norm_g"]), float(m_acc["grad_norm_g"]),
+        rtol=1e-3,
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_full.g_params),
+        jax.tree_util.tree_leaves(s_acc.g_params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b),
+            rtol=1e-3, atol=2.5 * cfg_full.lr_g,
+        )
