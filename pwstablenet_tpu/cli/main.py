@@ -115,6 +115,8 @@ def cmd_train(args) -> int:
         num_epochs=1,
         lr_g=args.lr,
         lr_d=args.lr,
+        gan_loss=args.gan_loss,
+        grad_accum_steps=args.grad_accum,
         checkpoint_dir=args.checkpoint_dir,
         log_every=args.log_every,
         checkpoint_every=args.checkpoint_every,
@@ -203,6 +205,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--checkpoint-dir", default="checkpoints")
     t.add_argument("--resume", action="store_true")
     t.add_argument("--lr", type=float, default=2e-4)
+    t.add_argument("--gan-loss", choices=["lsgan", "vanilla", "hinge"],
+                   default="lsgan")
+    t.add_argument("--grad-accum", type=int, default=1,
+                   help="micro-batch gradient accumulation steps")
     t.add_argument("--log-every", type=int, default=50)
     t.add_argument("--scalar-log",
                    help="also append JSONL scalars to this file")
