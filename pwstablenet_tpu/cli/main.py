@@ -105,6 +105,8 @@ def cmd_stabilize(args) -> int:
 
 
 def cmd_train(args) -> int:
+    import numpy as np
+
     from pwstablenet_tpu.config import DataConfig, TrainConfig
     from pwstablenet_tpu.train.loop import synthetic_batch_iterator, train
 
@@ -121,12 +123,26 @@ def cmd_train(args) -> int:
         log_every=args.log_every,
         checkpoint_every=args.checkpoint_every,
         scalar_log_path=args.scalar_log or "",
+        tb_log_dir=args.tb_log_dir or "",
+        ema_decay=args.ema_decay,
+        eval_every=args.eval_every,
         debug_nans=args.debug_nans,
         fault_inject_step=args.fault_inject_step,
         seed=args.seed,
     )
+    eval_fn = None
     if args.synthetic:
         batches = synthetic_batch_iterator(model_cfg, train_cfg)
+        if args.eval_every > 0:
+            from pwstablenet_tpu.data.synthetic import synthetic_pair_clip
+            from pwstablenet_tpu.eval.hooks import make_clip_eval_hook
+
+            stable, unstable = synthetic_pair_clip(
+                24, 96, 128, seed=10_000
+            )
+            eval_fn = make_clip_eval_hook(
+                model_cfg, unstable, stable_clip=stable, batch_windows=4
+            )
     else:
         from pwstablenet_tpu.data.deepstab import (
             DeepStabDataset,
@@ -141,10 +157,29 @@ def cmd_train(args) -> int:
         )
         ds = DeepStabDataset(data_cfg, model_cfg.temporal_window)
         batches = batch_iterator(ds, train_cfg.batch_size, seed=args.seed)
-    train(
+        if args.eval_every > 0 and args.eval_clip:
+            from pwstablenet_tpu.data.video_io import read_video
+            from pwstablenet_tpu.eval.hooks import make_clip_eval_hook
+
+            clip, _ = read_video(
+                args.eval_clip, max_frames=60, dtype=np.uint8
+            )
+            eval_fn = make_clip_eval_hook(model_cfg, clip)
+    state = train(
         model_cfg, train_cfg, batches,
-        resume=args.resume, max_steps=args.steps,
+        resume=args.resume, max_steps=args.steps, eval_fn=eval_fn,
     )
+    if args.export_params:
+        import jax
+
+        from pwstablenet_tpu.train import checkpoint as ckpt
+        from pwstablenet_tpu.train.state import generator_params
+
+        # inference-only export (EMA weights when tracked) — loadable
+        # via `stabilize --checkpoint <path>`
+        ckpt.save_params(
+            args.export_params, jax.device_get(generator_params(state))
+        )
     return 0
 
 
@@ -212,6 +247,20 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--log-every", type=int, default=50)
     t.add_argument("--scalar-log",
                    help="also append JSONL scalars to this file")
+    t.add_argument("--tb-log-dir",
+                   help="write TensorBoard event files here "
+                        "(dependency-free writer)")
+    t.add_argument("--eval-every", type=int, default=0,
+                   help="stabilize + score a held-out clip every N steps")
+    t.add_argument("--eval-clip",
+                   help="held-out unstable video for --eval-every "
+                        "(DeepStab mode; synthetic mode generates one)")
+    t.add_argument("--ema-decay", type=float, default=0.0,
+                   help="track an EMA of generator params (0 = off); "
+                        "exported/preferred for inference")
+    t.add_argument("--export-params",
+                   help="after training, save inference-only generator "
+                        "params (EMA if tracked) to this path")
     t.add_argument("--resize-scale", type=float, nargs=2,
                    default=[1.0, 1.0], metavar=("MIN", "MAX"),
                    help="random scale-jitter range before the crop")

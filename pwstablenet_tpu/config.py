@@ -115,11 +115,23 @@ class TrainConfig:
     # ONE D update (large effective batches within one chip's HBM)
     grad_accum_steps: int = 1
 
+    # exponential moving average of generator params (0 = off).  The
+    # EMA weights ride in TrainState/checkpoints and typically give a
+    # smoother generator for inference than the raw adversarial params
+    # (standard GAN practice; not in the reference — additive).
+    ema_decay: float = 0.0
+
     seed: int = 0
     log_every: int = 50
+    # run the eval hook (train(eval_fn=...), eval/hooks.py) every N
+    # steps; 0 = only at the end of training (when a hook is given)
+    eval_every: int = 0
     # optional JSONL scalar log file in addition to stdout
     # (SURVEY.md section 5.5); "" = stdout only
     scalar_log_path: str = ""
+    # optional TensorBoard event-file directory (SURVEY.md section 5.5;
+    # dependency-free writer, utils/tb_writer.py); "" = disabled
+    tb_log_dir: str = ""
     checkpoint_every: int = 1000
     checkpoint_dir: str = "checkpoints"
     keep_checkpoints: int = 3

@@ -46,6 +46,7 @@ def train(
     resume: bool = False,
     max_steps: Optional[int] = None,
     log_fn: Optional[Callable[[dict], None]] = None,
+    eval_fn: Optional[Callable[[object], dict]] = None,
 ):
     """Run adversarial training; returns the final TrainState."""
     if train_cfg.debug_nans:
@@ -75,26 +76,48 @@ def train(
         else train_cfg.num_epochs * train_cfg.steps_per_epoch
     )
     log = log_fn or (lambda m: print(json.dumps(m), flush=True))
+    closers = []
     if train_cfg.scalar_log_path:
         # SURVEY.md section 5.5: TensorBoard-free summary writer — the
         # same JSONL scalars appended to a file alongside stdout.
         inner_log = log
         scalar_file = open(train_cfg.scalar_log_path, "a", buffering=1)
+        closers.append(scalar_file.close)
 
         def log(m, _inner=inner_log, _f=scalar_file):
             _f.write(json.dumps(m) + "\n")
             _inner(m)
 
+    if train_cfg.tb_log_dir:
+        # SURVEY.md section 5.5: TensorBoard event files (hand-encoded
+        # TFRecord framing — no TF dependency; utils/tb_writer.py)
+        from pwstablenet_tpu.utils.tb_writer import SummaryWriter
+
+        tb = SummaryWriter(train_cfg.tb_log_dir)
+        closers.append(tb.close)
+        inner_log2 = log
+
+        def log(m, _inner=inner_log2, _tb=tb):
+            step = int(m.get("step", 0))
+            _tb.add_scalars(
+                {k: v for k, v in m.items() if k != "step"}, step
+            )
+            _inner(m)
+
     try:
         return _run_loop(
-            state, step_fn, batch_iterator, mesh, train_cfg, total, log
+            state, step_fn, batch_iterator, mesh, train_cfg, total, log,
+            eval_fn,
         )
     finally:
-        if train_cfg.scalar_log_path:
-            scalar_file.close()
+        for close in closers:
+            close()
 
 
-def _run_loop(state, step_fn, batch_iterator, mesh, train_cfg, total, log):
+def _run_loop(
+    state, step_fn, batch_iterator, mesh, train_cfg, total, log,
+    eval_fn=None,
+):
     # HOT LOOP.  Dispatch is asynchronous: step_fn returns device
     # futures immediately, so the host prepares batch N+1 (decode +
     # device_put) while the device runs step N.  Nothing in the loop
@@ -136,6 +159,16 @@ def _run_loop(state, step_fn, batch_iterator, mesh, train_cfg, total, log):
                 sec_per_step=(now - t_last) / max(step - last_logged, 1),
             )
             t_last, last_logged = now, step
+            log(scalars)
+
+        if eval_fn is not None and (
+            step == total
+            or (train_cfg.eval_every > 0 and step % train_cfg.eval_every == 0)
+        ):
+            # held-out eval with the current inference weights (EMA when
+            # tracked); rides the same log stream as training scalars
+            scalars = {k: float(v) for k, v in eval_fn(state).items()}
+            scalars["step"] = step
             log(scalars)
 
         if step % train_cfg.checkpoint_every == 0 or step == total:

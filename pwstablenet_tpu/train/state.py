@@ -28,6 +28,17 @@ class TrainState:
     g_opt: Any
     d_opt: Any
     rng: jnp.ndarray
+    # exponential moving average of g_params (None unless
+    # TrainConfig.ema_decay > 0); the preferred inference weights
+    g_ema: Any = None
+
+
+def generator_params(state: "TrainState", prefer_ema: bool = True):
+    """Generator weights for inference: the EMA copy when tracked
+    (smoother outputs — standard GAN practice), else the raw params."""
+    if prefer_ema and state.g_ema is not None:
+        return state.g_ema
+    return state.g_params
 
 
 def make_lr_schedule(cfg: TrainConfig, base_lr: float):
@@ -86,5 +97,14 @@ def create_train_state(
         g_opt=g_tx.init(g_params),
         d_opt=d_tx.init(d_params),
         rng=rng,
+        # EMA starts at the init point (standard).  Must be a distinct
+        # buffer copy, NOT an alias of g_params: the data-parallel step
+        # donates the whole state, and XLA rejects donating the same
+        # buffer twice.
+        g_ema=(
+            jax.tree_util.tree_map(jnp.copy, g_params)
+            if train_cfg.ema_decay > 0
+            else None
+        ),
     )
     return state, (gen, disc, feat)

@@ -182,10 +182,21 @@ def make_train_step(
             g_opt=g_opt,
             d_opt=d_opt,
             rng=rng,
+            g_ema=_ema_update(train_cfg, state.g_ema, g_params),
         )
         return new_state, metrics
 
     return train_step
+
+
+def _ema_update(train_cfg: TrainConfig, g_ema, g_params):
+    """ema <- d*ema + (1-d)*params (no-op tree passthrough when off)."""
+    if train_cfg.ema_decay <= 0 or g_ema is None:
+        return g_ema
+    d = train_cfg.ema_decay
+    return jax.tree_util.tree_map(
+        lambda e, p: d * e + (1.0 - d) * p, g_ema, g_params
+    )
 
 
 def _make_accum_train_step(
@@ -363,6 +374,7 @@ def _make_accum_train_step(
             g_opt=g_opt,
             d_opt=d_opt,
             rng=rng,
+            g_ema=_ema_update(train_cfg, state.g_ema, g_params),
         )
         return new_state, metrics
 

@@ -53,6 +53,47 @@ def test_train_synthetic_smoke(tmp_path, capsys):
     assert os.path.isdir(tmp_path / "ckpt")
 
 
+def test_train_ema_export_then_stabilize(tmp_path, capsys):
+    """--ema-decay + --export-params produce inference weights that
+    `stabilize --checkpoint` loads; --tb-log-dir writes event files."""
+    tb = str(tmp_path / "tb")
+    exported = str(tmp_path / "gen_params")
+    rc = main([
+        "train", "--synthetic", "--steps", "2", "--batch-size", "2",
+        "--num-levels", "3", "--base-features", "8",
+        "--temporal-window", "3", "--model-height", "16",
+        "--model-width", "16", "--log-every", "1",
+        "--checkpoint-every", "2",
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+        "--ema-decay", "0.9", "--tb-log-dir", tb,
+        "--export-params", exported,
+    ])
+    assert rc == 0
+    capsys.readouterr()
+
+    import glob
+
+    from pwstablenet_tpu.utils.tb_writer import read_event_file
+
+    events = read_event_file(glob.glob(tb + "/events.out.tfevents.*")[0])
+    assert any("loss_g" in e.get("scalars", {}) for e in events)
+
+    out = str(tmp_path / "out.avi")
+    rc = main([
+        "stabilize", "--synthetic", "--frames", "6",
+        "--height", "48", "--width", "64",
+        "--num-levels", "3", "--base-features", "8",
+        "--temporal-window", "3", "--model-height", "16",
+        "--model-width", "16",
+        "--batch-windows", "3", "--checkpoint", exported,
+        "--output", out,
+    ])
+    assert rc == 0
+    assert json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    )["frames"] == 6
+
+
 def test_stabilize_with_torch_checkpoint(tmp_path, capsys):
     """A migrated reference .pth loads straight into the CLI (C18/C20)."""
     import pytest
