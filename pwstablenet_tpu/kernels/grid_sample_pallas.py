@@ -25,22 +25,30 @@ Design:
 - The output is processed in row blocks of ``BR`` rows (the largest
   divisor of H that is <= 144 and a multiple of 8).  Each program sees
   a 3-block input window [(s)*BR, (s+3)*BR), s = clip(t-1, 0, nb-3),
-  via three shifted ``BlockSpec``s, assembled into one contiguous VMEM
-  scratch window.
-- Each 8x128 output tile unnormalizes its grid chunk, derives
-  window-local tap rows/columns, and accumulates the four bilinear taps
-  by sweeping only the 8-row groups its pixels actually touch
-  (``fori_loop`` with data-dependent bounds — for smooth upsampled
-  stabilization flows that is 1-2 groups, not the whole window).
-- The horizontal gather is a per-sublane ``dynamic_gather`` over a
-  static 3-chunk column window around the tile.
+  via three shifted ``BlockSpec``s, assembled into a column-chunked
+  VMEM scratch window ``(C, W/128, 3*BR, 128)`` whose segment dim is
+  dynamically indexable.
+- Each 8x128 output tile unnormalizes its grid chunk, derives tap
+  rows/columns, and accumulates the four bilinear taps by sweeping only
+  the 8-row groups AND the 128-wide column segments its pixels actually
+  touch — both bounds are data-dependent.  Rows: ``fori_loop`` over
+  groups (1-2 for smooth upsampled stabilization flows).  Columns: the
+  two segments a 128-px tile's taps span are statically unrolled at a
+  dynamic base, with a usually-empty tail ``fori_loop`` for larger
+  spans (measured: the static-at-dynamic-base form is ~13% faster than
+  the old static 3-segment window; a pure dynamic fori gains nothing —
+  its per-iteration overhead equals the saved work; a per-ROW dynamic
+  sweep is 1.65x SLOWER — see scratch/k_v3..v5.py).
+- The horizontal gather is a per-sublane ``dynamic_gather`` within each
+  128-lane segment.
 - Coordinates, weights, taps and the blend all fuse in VMEM; image and
   grid are each read once from HBM.
 
 Exactness contract: equal to ``ops.grid_sample`` whenever vertical
 displacement is within ``+-BR`` rows (120 rows at video sizes, ~17% of
-720p height) and horizontal displacement within ``+-128`` px; taps
-beyond clamp to the window edge.  Stabilization warps satisfy this by
+720p height); rows beyond clamp to the window edge.  Horizontal
+displacement of ANY magnitude is exact (the segment sweep follows the
+data).  Stabilization warps satisfy the vertical contract by
 construction; the general entry point dispatches anything that might
 not (see ``pallas_supported``) to the XLA path.  Parity:
 ``tests/test_pallas_kernel.py`` (interpret mode) and the on-device
@@ -60,7 +68,6 @@ Array = jax.Array
 
 _TILE_ROWS = 8     # f32 sublanes per vreg
 _LANES = 128
-_COL_SPAN = 1      # column window: tile chunk +- _COL_SPAN chunks
 _MAX_BR = 144      # max row-block height
 _VMEM_BUDGET_BYTES = 100 * 1024 * 1024
 
@@ -338,7 +345,10 @@ def _sample_kernel(
     extra = 1 if mode == "grad" else 0
     gout_ref = refs[win_blocks + 1] if mode == "grad" else None
     out_ref = refs[win_blocks + 1 + extra]
-    win = refs[win_blocks + 2 + extra]  # scratch (C, win_blocks*BR, W) f32
+    # scratch window, column-chunked: (C, num_chunks, win_blocks*BR, 128)
+    # — the column segment is a dynamically indexable MAJOR dim, so the
+    # tap sweep can jump straight to the segments the data touches
+    win = refs[win_blocks + 2 + extra]
 
     h, w = height, width
     br = block_rows
@@ -350,12 +360,13 @@ def _sample_kernel(
     s = jnp.clip(t - 1, 0, max(nb - win_blocks, 0))
     ws = s * br
 
-    # ---- assemble the contiguous window in scratch ----
+    # ---- assemble the chunked window in scratch ----
     for k in range(win_blocks):
         for c in range(channels):
-            win[c, k * br : (k + 1) * br, :] = refs[k][0, c].astype(
-                win.dtype
-            )
+            for ck in range(num_chunks):
+                win[c, ck, k * br : (k + 1) * br, :] = refs[k][
+                    0, c, :, ck * _LANES : (ck + 1) * _LANES
+                ].astype(win.dtype)
 
     def subtile(st, _):
         r0 = st * _TILE_ROWS
@@ -403,12 +414,17 @@ def _sample_kernel(
             gmin = jnp.maximum(jnp.min(ly0), 0) // _TILE_ROWS
             gmax = jnp.clip(jnp.max(ly0) + 1, 0, win_rows - 1) // _TILE_ROWS
 
-            # static column window around this chunk
-            cb = min(max(c0 - _COL_SPAN * _LANES, 0),
-                     max(w - (2 * _COL_SPAN + 1) * _LANES, 0))
-            nseg = min((2 * _COL_SPAN + 1) * _LANES, w) // _LANES
-            lx0 = jnp.clip(x0 - cb, 0, nseg * _LANES - 1)
-            lx1 = jnp.clip(x0 + 1 - cb, 0, nseg * _LANES - 1)
+            # data-dependent COLUMN-segment sweep bounds: tap columns of
+            # a 128-wide tile span exactly two aligned segments for
+            # smooth stabilization flows — the two are unrolled
+            # statically at the dynamic base (dynamic fori per segment
+            # measured as fast as the saved work, static-at-dynamic-base
+            # wins ~13%); a usually-empty tail fori covers arbitrarily
+            # large spans exactly
+            ax0 = jnp.clip(x0, 0, w - 1)
+            ax1 = jnp.clip(x0 + 1, 0, w - 1)
+            smin = jnp.min(ax0) // _LANES
+            smax = jnp.max(ax1) // _LANES
 
             if mode == "grad":
                 dgx = jnp.zeros((_TILE_ROWS, _LANES), jnp.float32)
@@ -418,37 +434,43 @@ def _sample_kernel(
 
             for c in range(channels):
                 def group_step(g, accs, c=c):
-                    a00, a01, a10, a11 = accs
                     gb = pl.multiple_of(g * _TILE_ROWS, _TILE_ROWS)
-                    grp = win[c, pl.ds(gb, _TILE_ROWS),
-                              cb : cb + nseg * _LANES]
-                    for rr in range(_TILE_ROWS):
-                        h0 = jnp.zeros((_TILE_ROWS, _LANES), acc_dtype)
-                        h1 = jnp.zeros((_TILE_ROWS, _LANES), acc_dtype)
-                        for sk in range(nseg):
-                            base = sk * _LANES
+
+                    def seg_body(sk, accs2):
+                        a00, a01, a10, a11 = accs2
+                        segall = win[c, sk, pl.ds(gb, _TILE_ROWS), :]
+                        base = sk * _LANES
+                        i0 = jnp.clip(ax0 - base, 0, _LANES - 1)
+                        i1 = jnp.clip(ax1 - base, 0, _LANES - 1)
+                        in0 = (ax0 >= base) & (ax0 < base + _LANES)
+                        in1 = (ax1 >= base) & (ax1 < base + _LANES)
+                        for rr in range(_TILE_ROWS):
                             seg = jax.lax.broadcast_in_dim(
-                                grp[rr : rr + 1, base : base + _LANES],
+                                segall[rr : rr + 1, :],
                                 (_TILE_ROWS, _LANES),
                                 (0, 1),
                             )
-                            i0 = jnp.clip(lx0 - base, 0, _LANES - 1)
-                            i1 = jnp.clip(lx1 - base, 0, _LANES - 1)
                             g0 = jnp.take_along_axis(seg, i0, axis=1)
                             g1 = jnp.take_along_axis(seg, i1, axis=1)
-                            in0 = (lx0 >= base) & (lx0 < base + _LANES)
-                            in1 = (lx1 >= base) & (lx1 < base + _LANES)
-                            h0 = jnp.where(in0, g0, h0)
-                            h1 = jnp.where(in1, g1, h1)
-                        # (h0/h1 carry packed int32 taps when packed_rgb)
-                        r = g * _TILE_ROWS + rr
-                        sel0 = ly0 == r
-                        sel1 = ly0 == r - 1
-                        a00 = jnp.where(sel0, h0, a00)
-                        a01 = jnp.where(sel0, h1, a01)
-                        a10 = jnp.where(sel1, h0, a10)
-                        a11 = jnp.where(sel1, h1, a11)
-                    return (a00, a01, a10, a11)
+                            r = g * _TILE_ROWS + rr
+                            sel0 = ly0 == r
+                            sel1 = ly0 == r - 1
+                            # merges are idempotent selects, so the
+                            # clamped re-visit of a segment (below) and
+                            # sweep-order don't matter
+                            a00 = jnp.where(sel0 & in0, g0, a00)
+                            a01 = jnp.where(sel0 & in1, g1, a01)
+                            a10 = jnp.where(sel1 & in0, g0, a10)
+                            a11 = jnp.where(sel1 & in1, g1, a11)
+                        return (a00, a01, a10, a11)
+
+                    accs = seg_body(smin, accs)
+                    accs = seg_body(
+                        jnp.minimum(smin + 1, num_chunks - 1), accs
+                    )
+                    return jax.lax.fori_loop(
+                        smin + 2, smax + 1, seg_body, accs
+                    )
 
                 zeros = jnp.zeros((_TILE_ROWS, _LANES), acc_dtype)
                 a00, a01, a10, a11 = jax.lax.fori_loop(
@@ -599,7 +621,9 @@ def grid_sample_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((b, c, h, w), image.dtype),
         scratch_shapes=[
-            pltpu.VMEM((c, winb * br, w), jnp.float32),
+            pltpu.VMEM(
+                (c, w // _LANES, winb * br, _LANES), jnp.float32
+            ),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_BUDGET_BYTES,
@@ -697,7 +721,9 @@ def grid_sample_pallas_packed(
         ),
         out_shape=jax.ShapeDtypeStruct((b, 1, h, w), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((1, winb * br, w), jnp.int32),
+            pltpu.VMEM(
+                (1, w // _LANES, winb * br, _LANES), jnp.int32
+            ),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_BUDGET_BYTES,
@@ -786,7 +812,9 @@ def grid_sample_grad_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((b, 2, h, w), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((c, winb * br, w), jnp.float32),
+            pltpu.VMEM(
+                (c, w // _LANES, winb * br, _LANES), jnp.float32
+            ),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_BUDGET_BYTES,

@@ -1,0 +1,289 @@
+"""Experiment: packed warp kernel with data-dependent COLUMN-segment
+sweep (v3).  Differences vs kernels/grid_sample_pallas.py:
+
+- scratch window stored column-chunked: (1, num_chunks, win_rows, 128)
+  so the segment index is a dynamically-indexable major dim;
+- per output chunk, the tap columns' segment range [smin, smax] is
+  computed from the data (like the row-group sweep) and swept with a
+  fori_loop — for smooth stabilization flows that is 2 segments, not
+  the static 3 of the current kernel;
+- taps merge directly into the four corner accumulators (the per-row
+  h0/h1 intermediates are folded away so the accumulators can be loop
+  carries);
+- horizontal displacement is no longer contract-limited to +-128 px:
+  the sweep covers whatever segments the data touches.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TILE_ROWS = 8
+_LANES = 128
+_MAX_BR = 144
+_VMEM_BUDGET_BYTES = 100 * 1024 * 1024
+
+
+def _row_block(h):
+    best = 0
+    for d in range(8, min(h, _MAX_BR) + 1, 8):
+        if h % d == 0:
+            best = d
+    return best
+
+
+def _packed_kernel_v3(
+    *refs, height, width, block_rows, win_blocks, align_corners
+):
+    grid_ref = refs[win_blocks]
+    out_ref = refs[win_blocks + 1]
+    win = refs[win_blocks + 2]  # (1, num_chunks, win_rows, 128) int32
+
+    h, w = height, width
+    br = block_rows
+    nb = h // br
+    num_chunks = w // _LANES
+    win_rows = win_blocks * br
+    t = pl.program_id(1)
+    s = jnp.clip(t - 1, 0, max(nb - win_blocks, 0))
+    ws = s * br
+
+    # assemble the chunked window
+    for k in range(win_blocks):
+        for ck in range(num_chunks):
+            win[0, ck, k * br : (k + 1) * br, :] = refs[k][
+                0, 0, :, ck * _LANES : (ck + 1) * _LANES
+            ]
+
+    def subtile(st, _):
+        r0 = st * _TILE_ROWS
+        for ock in range(num_chunks):
+            c0 = ock * _LANES
+            gx = grid_ref[0, 0, pl.ds(r0, _TILE_ROWS), c0 : c0 + _LANES]
+            gy = grid_ref[0, 1, pl.ds(r0, _TILE_ROWS), c0 : c0 + _LANES]
+
+            if align_corners:
+                x = (gx + 1.0) * 0.5 * (w - 1)
+                y = (gy + 1.0) * 0.5 * (h - 1)
+            else:
+                x = ((gx + 1.0) * w - 1.0) * 0.5
+                y = ((gy + 1.0) * h - 1.0) * 0.5
+            # border padding only (packed contract)
+            x = jnp.clip(x, 0.0, w - 1)
+            y = jnp.clip(y, 0.0, h - 1)
+
+            x0f = jnp.floor(x)
+            y0f = jnp.floor(y)
+            fx = x - x0f
+            fy = y - y0f
+            x0 = x0f.astype(jnp.int32)
+            y0 = y0f.astype(jnp.int32)
+
+            w00 = (1.0 - fy) * (1.0 - fx)
+            w01 = (1.0 - fy) * fx
+            w10 = fy * (1.0 - fx)
+            w11 = fy * fx
+
+            y0c = jnp.clip(y0, -1, h - 1)
+            ly0 = jnp.clip(y0c - ws, -1, win_rows - 1)
+            gmin = jnp.maximum(jnp.min(ly0), 0) // _TILE_ROWS
+            gmax = jnp.clip(jnp.max(ly0) + 1, 0, win_rows - 1) // _TILE_ROWS
+
+            ax0 = jnp.clip(x0, 0, w - 1)
+            ax1 = jnp.clip(x0 + 1, 0, w - 1)
+            smin = jnp.min(ax0) // _LANES
+            smax = jnp.max(ax1) // _LANES
+
+            def group_step(g, accs):
+                gb = pl.multiple_of(g * _TILE_ROWS, _TILE_ROWS)
+
+                def seg_step(sk, accs2):
+                    a00, a01, a10, a11 = accs2
+                    segall = win[0, sk, pl.ds(gb, _TILE_ROWS), :]
+                    base = sk * _LANES
+                    i0 = jnp.clip(ax0 - base, 0, _LANES - 1)
+                    i1 = jnp.clip(ax1 - base, 0, _LANES - 1)
+                    in0 = (ax0 >= base) & (ax0 < base + _LANES)
+                    in1 = (ax1 >= base) & (ax1 < base + _LANES)
+                    for rr in range(_TILE_ROWS):
+                        seg = jax.lax.broadcast_in_dim(
+                            segall[rr : rr + 1, :],
+                            (_TILE_ROWS, _LANES),
+                            (0, 1),
+                        )
+                        g0 = jnp.take_along_axis(seg, i0, axis=1)
+                        g1 = jnp.take_along_axis(seg, i1, axis=1)
+                        r = g * _TILE_ROWS + rr
+                        sel0 = ly0 == r
+                        sel1 = ly0 == r - 1
+                        a00 = jnp.where(sel0 & in0, g0, a00)
+                        a01 = jnp.where(sel0 & in1, g1, a01)
+                        a10 = jnp.where(sel1 & in0, g0, a10)
+                        a11 = jnp.where(sel1 & in1, g1, a11)
+                    return (a00, a01, a10, a11)
+
+                return jax.lax.fori_loop(smin, smax + 1, seg_step, accs)
+
+            zeros = jnp.zeros((_TILE_ROWS, _LANES), jnp.int32)
+            a00, a01, a10, a11 = jax.lax.fori_loop(
+                gmin, gmax + 1, group_step, (zeros,) * 4
+            )
+
+            outp = jnp.zeros((_TILE_ROWS, _LANES), jnp.int32)
+            for ch in range(3):
+                sh = 8 * ch
+                t00 = ((a00 >> sh) & 0xFF).astype(jnp.float32)
+                t01 = ((a01 >> sh) & 0xFF).astype(jnp.float32)
+                t10 = ((a10 >> sh) & 0xFF).astype(jnp.float32)
+                t11 = ((a11 >> sh) & 0xFF).astype(jnp.float32)
+                v = w00 * t00 + w01 * t01 + w10 * t10 + w11 * t11
+                vi = jnp.clip(jnp.round(v), 0.0, 255.0).astype(jnp.int32)
+                outp = outp | (vi << sh)
+            out_ref[0, 0, pl.ds(r0, _TILE_ROWS), c0 : c0 + _LANES] = outp
+        return 0
+
+    jax.lax.fori_loop(0, br // _TILE_ROWS, subtile, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("align_corners", "interpret"))
+def grid_sample_packed_v3(
+    image, grid, align_corners=True, interpret=False
+):
+    b, h, w, c = image.shape
+    assert c == 3 and image.dtype == jnp.uint8
+    br = _row_block(h)
+    nb = h // br
+    winb = min(3, nb)
+    num_chunks = w // _LANES
+
+    kernel = functools.partial(
+        _packed_kernel_v3,
+        height=h,
+        width=w,
+        block_rows=br,
+        win_blocks=winb,
+        align_corners=align_corners,
+    )
+
+    def shifted(k):
+        def index_map(bi, ti):
+            s = jnp.clip(ti - 1, 0, max(nb - winb, 0))
+            return (bi, 0, s + k, 0)
+
+        return pl.BlockSpec(
+            (1, 1, br, w), index_map, memory_space=pltpu.VMEM
+        )
+
+    in_specs = [shifted(k) for k in range(winb)]
+    in_specs.append(
+        pl.BlockSpec(
+            (1, 2, br, w), lambda bi, ti: (bi, 0, ti, 0),
+            memory_space=pltpu.VMEM,
+        )
+    )
+
+    xi = image.astype(jnp.int32)
+    packed_img = (xi[..., 0] | (xi[..., 1] << 8) | (xi[..., 2] << 16))
+    packed_img = packed_img[:, None]
+    grid_p = jnp.moveaxis(grid.astype(jnp.float32), -1, 1)
+    out_p = pl.pallas_call(
+        kernel,
+        grid=(b, nb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, 1, br, w), lambda bi, ti: (bi, 0, ti, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 1, h, w), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM(
+                (1, num_chunks, winb * br, _LANES), jnp.int32
+            ),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_BUDGET_BYTES,
+        ),
+        interpret=interpret,
+    )(*([packed_img] * winb), grid_p)
+    out_p = out_p[:, 0]
+    return jnp.stack(
+        [
+            (out_p & 0xFF).astype(jnp.uint8),
+            ((out_p >> 8) & 0xFF).astype(jnp.uint8),
+            ((out_p >> 16) & 0xFF).astype(jnp.uint8),
+        ],
+        axis=-1,
+    )
+
+
+if __name__ == "__main__":
+    import numpy as np
+
+    from pwstablenet_tpu.kernels.grid_sample_pallas import (
+        grid_sample_pallas_packed,
+    )
+    from pwstablenet_tpu.ops.warp import flow_to_grid
+    from pwstablenet_tpu.utils.timing import device_time
+
+    rng = np.random.default_rng(0)
+    on_tpu = jax.default_backend() == "tpu"
+
+    # parity vs the current packed kernel at 720p (smooth flow)
+    for bsz, H, W, mag in ((2, 64, 256, 0.15), (2, 720, 1280, 0.1)):
+        img8 = jnp.asarray(rng.integers(0, 256, (bsz, H, W, 3), np.uint8))
+        lf = (rng.random((bsz, 8, 8, 2), np.float32) - 0.5) * mag
+        flow = jax.image.resize(jnp.asarray(lf), (bsz, H, W, 2), "bilinear")
+        grid = flow_to_grid(flow)
+        ref = grid_sample_pallas_packed(
+            img8, grid, interpret=not on_tpu
+        )
+        out = grid_sample_packed_v3(img8, grid, interpret=not on_tpu)
+        diff = int(
+            np.abs(
+                np.asarray(out).astype(np.int16)
+                - np.asarray(ref).astype(np.int16)
+            ).max()
+        )
+        print(f"({bsz},{H},{W}) max code diff vs current kernel: {diff}")
+
+    if on_tpu:
+        img8 = jnp.asarray(
+            rng.integers(0, 256, (16, 720, 1280, 3), np.uint8)
+        )
+        lf = (rng.random((16, 8, 8, 2), np.float32) - 0.5) * 0.1
+        flow = jax.image.resize(
+            jnp.asarray(lf), (16, 720, 1280, 2), "bilinear"
+        )
+        grid = flow_to_grid(flow)
+        dt0 = device_time(
+            lambda i, g: grid_sample_pallas_packed(i, g), (img8, grid),
+            iters=10,
+        )
+        dt1 = device_time(
+            lambda i, g: grid_sample_packed_v3(i, g), (img8, grid),
+            iters=10,
+        )
+        print(f"720p x16 packed current: {dt0*1e3:.2f} ms")
+        print(f"720p x16 packed v3:      {dt1*1e3:.2f} ms")
+        # 1080p
+        img8 = jnp.asarray(
+            rng.integers(0, 256, (16, 1080, 1920, 3), np.uint8)
+        )
+        lf = (rng.random((16, 8, 8, 2), np.float32) - 0.5) * 0.1
+        flow = jax.image.resize(
+            jnp.asarray(lf), (16, 1080, 1920, 2), "bilinear"
+        )
+        grid = flow_to_grid(flow)
+        dt0 = device_time(
+            lambda i, g: grid_sample_pallas_packed(i, g), (img8, grid),
+            iters=6,
+        )
+        dt1 = device_time(
+            lambda i, g: grid_sample_packed_v3(i, g), (img8, grid),
+            iters=6,
+        )
+        print(f"1080p x16 packed current: {dt0*1e3:.2f} ms")
+        print(f"1080p x16 packed v3:      {dt1*1e3:.2f} ms")
