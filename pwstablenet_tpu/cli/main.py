@@ -59,6 +59,7 @@ def cmd_stabilize(args) -> int:
         batch_windows=args.batch_windows,
         border_crop_frac=args.border_crop,
         emit_warp_fields=args.warp_fields is not None,
+        warp_field_dtype=args.warp_dtype,
     )
     params = None
     if args.checkpoint:
@@ -222,6 +223,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--output")
     s.add_argument("--checkpoint")
     s.add_argument("--warp-fields", help="save warp fields to .npz")
+    s.add_argument("--warp-dtype", choices=["float32", "float16"],
+                   default="float32",
+                   help="dtype warp fields cross device->host in "
+                        "(float16 halves the flow D2H bytes)")
     s.add_argument("--batch-windows", type=int, default=8)
     s.add_argument("--border-crop", type=float, default=0.0)
     s.add_argument("--synthetic", action="store_true",

@@ -42,6 +42,26 @@ def test_kernel_matches_oracle(padding_mode):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
 
 
+@pytest.mark.parametrize("padding_mode", ["border", "zeros"])
+def test_kernel_large_horizontal_displacement(padding_mode):
+    """The column-segment sweep is data-dependent: horizontal
+    displacements beyond one 128-lane segment (here up to ~1.5
+    segments) must stay exact — the old static 3-segment window
+    clamped these."""
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.random((1, 16, 512, 1), np.float32))
+    lf = (rng.random((1, 4, 4, 2), np.float32) - 0.5)
+    lf[..., 0] *= 1.5   # x displacement up to ~0.75*W/2 px
+    lf[..., 1] *= 0.2   # y stays within the row window
+    flow = jax.image.resize(jnp.asarray(lf), (1, 16, 512, 2), "bilinear")
+    grid = flow_to_grid(flow)
+    ref = grid_sample(img, grid, padding_mode=padding_mode)
+    out = grid_sample_pallas(
+        img, grid, padding_mode=padding_mode, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
 def test_kernel_zeros_mode_out_of_bounds_rows():
     """Flows pushing taps across the frame edge (the y0==-1 / y1==0
     corner case) must match the oracle exactly."""
