@@ -228,32 +228,39 @@ def main() -> int:
         f"D2H {d2h*1e3:.0f} ms (pallas: {up})")
 
     # ---- config 5 (inference half): streaming 1080p device path ----
+    # 16-window chunks: same throughput methodology as the 720p
+    # headline (deep UNet levels amortize over a fuller MXU)
+    n16 = 16
+    step16 = stab16._chunk_step
     frames_1080 = jnp.asarray(
         _quantize(
-            rng.random((n + T - 1, 1080, 1920, 3), np.float32) * 2 - 1
+            rng.random((n16 + T - 1, 1080, 1920, 3), np.float32) * 2 - 1
         )
     )
-    use_pallas_1080 = stab._pallas_ok(frames_1080.shape)
+    use_pallas_1080 = stab16._pallas_ok(frames_1080.shape)
     dt1080 = device_time(
-        lambda f: step(stab.params, f, use_pallas_1080),
+        lambda f: step16(stab16.params, f, use_pallas_1080),
         (frames_1080,), iters=5,
     )
-    results["fps_1080p_device"] = n / dt1080
+    results["fps_1080p_device"] = n16 / dt1080
     log(f"config 5 (1080p streaming device path): {dt1080*1e3:.2f} ms"
-        f"/chunk{n} = {n/dt1080:.0f} frames/sec/chip "
+        f"/chunk{n16} = {n16/dt1080:.0f} frames/sec/chip "
         f"(pallas: {use_pallas_1080})")
 
     # capability headroom: 4K (2160x3840) single-chip device path
     frames_4k = jnp.asarray(
-        (rng.integers(0, 256, (n + T - 1, 2160, 3840, 3))).astype(np.uint8)
+        (rng.integers(0, 256, (n16 + T - 1, 2160, 3840, 3))).astype(
+            np.uint8
+        )
     )
-    use_pallas_4k = stab._pallas_ok(frames_4k.shape)
+    use_pallas_4k = stab16._pallas_ok(frames_4k.shape)
     dt4k = device_time(
-        lambda f: step(stab.params, f, use_pallas_4k), (frames_4k,), iters=3
+        lambda f: step16(stab16.params, f, use_pallas_4k),
+        (frames_4k,), iters=3,
     )
-    results["fps_4k_device"] = n / dt4k
-    log(f"4K device path: {dt4k*1e3:.2f} ms/chunk{n} "
-        f"= {n/dt4k:.0f} frames/sec/chip (pallas: {use_pallas_4k})")
+    results["fps_4k_device"] = n16 / dt4k
+    log(f"4K device path: {dt4k*1e3:.2f} ms/chunk{n16} "
+        f"= {n16/dt4k:.0f} frames/sec/chip (pallas: {use_pallas_4k})")
 
     # ---- configs 4 + 5 (training half): adversarial train step through
     # the data-parallel path (mesh engaged; on one chip the trivial mesh

@@ -61,6 +61,15 @@ def cmd_stabilize(args) -> int:
         emit_warp_fields=args.warp_fields is not None,
         warp_field_dtype=args.warp_dtype,
     )
+    mesh = None
+    if args.data_parallel:
+        # clip-sharded inference: temporal windows split over all local
+        # devices (parallel/mesh.py; batch_windows must divide evenly)
+        from pwstablenet_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+        if mesh.size == 1:
+            mesh = None
     params = None
     if args.checkpoint:
         if args.checkpoint.endswith((".pth", ".pt")):
@@ -72,7 +81,7 @@ def cmd_stabilize(args) -> int:
             from pwstablenet_tpu.train import checkpoint as ckpt
 
             params = ckpt.load_params(args.checkpoint)
-    stab = Stabilizer(model_cfg, pipe_cfg, params=params)
+    stab = Stabilizer(model_cfg, pipe_cfg, params=params, mesh=mesh)
 
     if args.synthetic:
         from pwstablenet_tpu.data.synthetic import synthetic_pair_clip
@@ -166,8 +175,13 @@ def cmd_train(args) -> int:
                 args.eval_clip, max_frames=60, dtype=np.uint8
             )
             eval_fn = make_clip_eval_hook(model_cfg, clip)
+    mesh_cfg = None
+    if args.mesh_devices > 0:
+        from pwstablenet_tpu.config import MeshConfig
+
+        mesh_cfg = MeshConfig(num_devices=args.mesh_devices)
     state = train(
-        model_cfg, train_cfg, batches,
+        model_cfg, train_cfg, batches, mesh_cfg=mesh_cfg,
         resume=args.resume, max_steps=args.steps, eval_fn=eval_fn,
     )
     if args.export_params:
@@ -181,6 +195,39 @@ def cmd_train(args) -> int:
         ckpt.save_params(
             args.export_params, jax.device_get(generator_params(state))
         )
+    return 0
+
+
+def cmd_export(args) -> int:
+    """AOT-export the inference chunk step as a StableHLO artifact."""
+    from pwstablenet_tpu.config import PipelineConfig
+    from pwstablenet_tpu.export import save_chunk_step
+    from pwstablenet_tpu.pipeline import Stabilizer
+
+    model_cfg = _model_cfg(args)
+    params = None
+    if args.checkpoint:
+        if args.checkpoint.endswith((".pth", ".pt")):
+            from pwstablenet_tpu.interop import load_torch_checkpoint
+
+            params = load_torch_checkpoint(args.checkpoint, model_cfg)
+        else:
+            from pwstablenet_tpu.train import checkpoint as ckpt
+
+            params = ckpt.load_params(args.checkpoint)
+    stab = Stabilizer(
+        model_cfg,
+        PipelineConfig(batch_windows=args.batch_windows),
+        params=params,
+    )
+    path = save_chunk_step(
+        args.output, stab, frame_hw=(args.height, args.width)
+    )
+    print(json.dumps({
+        "artifact": path,
+        "frame_hw": [args.height, args.width],
+        "batch_windows": args.batch_windows,
+    }))
     return 0
 
 
@@ -200,16 +247,44 @@ def cmd_bench(args) -> int:
 
 
 def cmd_eval(args) -> int:
-    import numpy as np
-
     from pwstablenet_tpu.data import video_io
-    from pwstablenet_tpu.eval.metrics import stability_report
+    from pwstablenet_tpu.eval.metrics import (
+        fidelity_report,
+        stability_report,
+    )
 
     frames, _ = video_io.read_video(args.input)
     original = None
     if args.original:
         original, _ = video_io.read_video(args.original)
-    print(json.dumps(stability_report(frames, original)))
+    report = stability_report(frames, original)
+    if args.ground_truth:
+        # PSNR/SSIM vs an ALIGNED ground-truth stable clip (synthetic
+        # evals; real DeepStab pairs are not pixel-aligned — use the
+        # stability/cropping/distortion trio there)
+        gt, _ = video_io.read_video(args.ground_truth)
+        n = min(len(frames), len(gt))
+        report.update(fidelity_report(frames[:n], gt[:n]))
+    print(json.dumps(report))
+    return 0
+
+
+def cmd_make_data(args) -> int:
+    """Materialize a synthetic DeepStab-shaped dataset on disk."""
+    from pwstablenet_tpu.data.deepstab import write_synthetic_deepstab
+
+    write_synthetic_deepstab(
+        args.out,
+        num_pairs=args.pairs,
+        frames=args.frames,
+        height=args.height,
+        width=args.width,
+        seed=args.seed,
+    )
+    print(json.dumps({
+        "root": args.out, "pairs": args.pairs, "frames": args.frames,
+        "height": args.height, "width": args.width,
+    }))
     return 0
 
 
@@ -223,6 +298,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--output")
     s.add_argument("--checkpoint")
     s.add_argument("--warp-fields", help="save warp fields to .npz")
+    s.add_argument("--data-parallel", action="store_true",
+                   help="clip-sharded inference over all local devices")
     s.add_argument("--warp-dtype", choices=["float32", "float16"],
                    default="float32",
                    help="dtype warp fields cross device->host in "
@@ -270,11 +347,25 @@ def build_parser() -> argparse.ArgumentParser:
                    default=[1.0, 1.0], metavar=("MIN", "MAX"),
                    help="random scale-jitter range before the crop")
     t.add_argument("--decode-threads", type=int, default=2)
+    t.add_argument("--mesh-devices", type=int, default=-1,
+                   help="cap the data-parallel mesh size (-1 = all "
+                        "local devices whose count divides the batch)")
     t.add_argument("--checkpoint-every", type=int, default=500)
     t.add_argument("--debug-nans", action="store_true")
     t.add_argument("--fault-inject-step", type=int, default=-1)
     t.add_argument("--seed", type=int, default=0)
     t.set_defaults(fn=cmd_train)
+
+    x = sub.add_parser(
+        "export", help="AOT-export the inference step (StableHLO)"
+    )
+    _add_model_args(x)
+    x.add_argument("--output", required=True, help="artifact path")
+    x.add_argument("--checkpoint", help="params (orbax dir or .pth)")
+    x.add_argument("--height", type=int, default=720)
+    x.add_argument("--width", type=int, default=1280)
+    x.add_argument("--batch-windows", type=int, default=8)
+    x.set_defaults(fn=cmd_export)
 
     b = sub.add_parser("bench", help="run the benchmark suite")
     b.set_defaults(fn=cmd_bench)
@@ -282,7 +373,22 @@ def build_parser() -> argparse.ArgumentParser:
     e = sub.add_parser("eval", help="stabilization quality metrics")
     e.add_argument("--input", required=True, help="stabilized video")
     e.add_argument("--original", help="original unstable video")
+    e.add_argument("--ground-truth",
+                   help="aligned GT stable video (adds PSNR/SSIM)")
     e.set_defaults(fn=cmd_eval)
+
+    d = sub.add_parser(
+        "make-data",
+        help="write a synthetic DeepStab-shaped dataset "
+             "(<out>/{stable,unstable}/*.avi pairs)",
+    )
+    d.add_argument("--out", required=True)
+    d.add_argument("--pairs", type=int, default=4)
+    d.add_argument("--frames", type=int, default=60)
+    d.add_argument("--height", type=int, default=288)
+    d.add_argument("--width", type=int, default=384)
+    d.add_argument("--seed", type=int, default=0)
+    d.set_defaults(fn=cmd_make_data)
     return p
 
 

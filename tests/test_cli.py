@@ -125,6 +125,63 @@ def test_stabilize_with_torch_checkpoint(tmp_path, capsys):
     )["frames"] == 8
 
 
+def test_stabilize_data_parallel(tmp_path, capsys):
+    """--data-parallel engages clip-sharded inference on the virtual
+    8-device CPU mesh."""
+    out = str(tmp_path / "out.avi")
+    rc = main([
+        "stabilize", "--synthetic", "--frames", "10",
+        "--height", "48", "--width", "64",
+        "--num-levels", "4", "--base-features", "8",
+        "--temporal-window", "3", "--model-height", "32",
+        "--model-width", "32",
+        "--batch-windows", "8", "--data-parallel",
+        "--output", out,
+    ])
+    assert rc == 0
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["frames"] == 10
+
+
+def test_train_mesh_devices_cap(tmp_path, capsys):
+    """--mesh-devices caps the data-parallel mesh size."""
+    rc = main([
+        "train", "--synthetic", "--steps", "1", "--batch-size", "4",
+        "--num-levels", "3", "--base-features", "8",
+        "--temporal-window", "3", "--model-height", "16",
+        "--model-width", "16", "--log-every", "1",
+        "--checkpoint-every", "1",
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+        "--mesh-devices", "2",
+    ])
+    assert rc == 0
+
+
+def test_make_data_then_eval(tmp_path, capsys):
+    """make-data writes a loadable DeepStab-shaped dataset; eval with
+    --ground-truth adds PSNR/SSIM."""
+    root = str(tmp_path / "ds")
+    rc = main([
+        "make-data", "--out", root, "--pairs", "1", "--frames", "8",
+        "--height", "48", "--width", "64",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    stable = os.path.join(root, "stable")
+    unstable = os.path.join(root, "unstable")
+    (name,) = os.listdir(stable)
+    rc = main([
+        "eval", "--input", os.path.join(unstable, name),
+        "--original", os.path.join(unstable, name),
+        "--ground-truth", os.path.join(stable, name),
+    ])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "stability_score" in report
+    assert "psnr_db" in report and "ssim" in report
+    assert report["psnr_db"] > 5.0
+
+
 def test_missing_args_error():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"

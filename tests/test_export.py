@@ -35,3 +35,25 @@ def test_export_roundtrip(tmp_path):
         np.asarray(got_f), np.asarray(want_f), atol=1e-6
     )
     assert np.asarray(got_s).dtype == np.uint8
+
+
+def test_export_cli(tmp_path):
+    """`export` subcommand writes a loadable artifact."""
+    import json as _json
+
+    from pwstablenet_tpu.cli import main
+
+    out = str(tmp_path / "step.stablehlo")
+    rc = main([
+        "export", "--output", out,
+        "--num-levels", "4", "--base-features", "8",
+        "--max-features", "16", "--temporal-window", "3",
+        "--num-stages", "1", "--model-height", "32",
+        "--model-width", "32",
+        "--height", "48", "--width", "64", "--batch-windows", "4",
+    ])
+    assert rc == 0
+    step = ExportedStabilizerStep.load(out)
+    # the exported signature matches the requested geometry
+    frames_aval = step.in_avals[-1]
+    assert frames_aval.shape == (4 + 2, 48, 64, 3)
