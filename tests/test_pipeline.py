@@ -54,6 +54,33 @@ def test_frame_count_preserved_across_chunkings(clip, batch_windows):
     assert flows.shape[0] == clip.shape[0]
 
 
+def test_clip_shorter_than_temporal_window():
+    """A 3-frame clip under T=5 still stabilizes (replicate-padded
+    context at both clip edges)."""
+    _, short = synthetic_pair_clip(3, 48, 64, seed=2)
+    stab = Stabilizer(SMALL, PipelineConfig(batch_windows=4))
+    out, flows = stab.stabilize_frames(short)
+    assert out.shape == short.shape
+    assert flows.shape[0] == 3
+    np.testing.assert_allclose(out, short, atol=1e-4)  # identity at init
+
+
+def test_single_frame_clip():
+    _, one = synthetic_pair_clip(1, 48, 64, seed=3)
+    stab = Stabilizer(SMALL, PipelineConfig(batch_windows=4))
+    out, flows = stab.stabilize_frames(one)
+    assert out.shape == one.shape and flows.shape[0] == 1
+
+
+def test_stabilize_video_missing_input(tmp_path):
+    stab = Stabilizer(SMALL, PipelineConfig(batch_windows=4))
+    with pytest.raises(Exception):
+        stab.stabilize_video(
+            str(tmp_path / "does_not_exist.avi"),
+            str(tmp_path / "out.avi"),
+        )
+
+
 def test_chunked_equals_whole(clip):
     a = Stabilizer(SMALL, PipelineConfig(batch_windows=4)).stabilize_frames(clip)
     b = Stabilizer(SMALL, PipelineConfig(batch_windows=16)).stabilize_frames(clip)
