@@ -78,9 +78,11 @@ def cmd_stabilize(args) -> int:
 
             params = load_torch_checkpoint(args.checkpoint, model_cfg)
         else:
+            # accepts a params export OR a training checkpoint dir
+            # (EMA weights preferred when tracked)
             from pwstablenet_tpu.train import checkpoint as ckpt
 
-            params = ckpt.load_params(args.checkpoint)
+            params = ckpt.load_generator_params(args.checkpoint)
     stab = Stabilizer(model_cfg, pipe_cfg, params=params, mesh=mesh)
 
     if args.synthetic:
@@ -214,7 +216,7 @@ def cmd_export(args) -> int:
         else:
             from pwstablenet_tpu.train import checkpoint as ckpt
 
-            params = ckpt.load_params(args.checkpoint)
+            params = ckpt.load_generator_params(args.checkpoint)
     stab = Stabilizer(
         model_cfg,
         PipelineConfig(batch_windows=args.batch_windows),

@@ -67,3 +67,26 @@ def load_params(path: str, template=None):
             os.path.abspath(path), args=ocp.args.StandardRestore(template)
         )
     return ckpt.restore(os.path.abspath(path))
+
+
+def load_generator_params(path: str, prefer_ema: bool = True):
+    """Generator weights from EITHER kind of checkpoint path:
+
+    - a training checkpoint directory (``CheckpointManager`` layout with
+      numbered step subdirs, as written by the train loop): restores the
+      latest step's TrainState pytree and returns its EMA weights when
+      tracked (``TrainConfig.ema_decay``), else the raw generator params;
+    - a ``save_params`` inference-only export: returned as-is.
+
+    Lets ``stabilize --checkpoint`` point straight at ``--checkpoint-dir``
+    without an explicit export step.
+    """
+    step = latest_step(path)
+    if step is None:
+        return load_params(path)
+    with _manager(path, keep=10_000) as mgr:
+        state = mgr.restore(step)  # raw pytree (no template needed)
+    ema = state.get("g_ema") if isinstance(state, dict) else None
+    if prefer_ema and ema:  # non-empty dict => EMA was tracked
+        return ema
+    return state["g_params"]

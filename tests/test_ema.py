@@ -102,6 +102,34 @@ def test_ema_with_grad_accum():
     assert _tree_allclose(state.g_ema, expected)
 
 
+def test_load_generator_params_from_train_dir(tmp_path):
+    """stabilize-style loading straight from a training checkpoint dir:
+    EMA weights preferred when tracked, raw params otherwise; a
+    save_params export still loads."""
+    from pwstablenet_tpu.train import checkpoint as ckpt
+
+    cfg = _cfg(ema_decay=0.5)
+    _, state = _run_steps(cfg, n=1)
+    ckpt.save_state(str(tmp_path / "ck"), state, keep=1)
+    got = ckpt.load_generator_params(str(tmp_path / "ck"))
+    assert _tree_allclose(got, state.g_ema)
+    got_raw = ckpt.load_generator_params(
+        str(tmp_path / "ck"), prefer_ema=False
+    )
+    assert _tree_allclose(got_raw, state.g_params)
+
+    # without EMA tracking -> raw params
+    _, state2 = _run_steps(_cfg(), n=1)
+    ckpt.save_state(str(tmp_path / "ck2"), state2, keep=1)
+    got2 = ckpt.load_generator_params(str(tmp_path / "ck2"))
+    assert _tree_allclose(got2, state2.g_params)
+
+    # params-only export path unchanged
+    ckpt.save_params(str(tmp_path / "exported"), state.g_params)
+    got3 = ckpt.load_generator_params(str(tmp_path / "exported"))
+    assert _tree_allclose(got3, state.g_params)
+
+
 def test_ema_checkpoint_roundtrip(tmp_path):
     from pwstablenet_tpu.train import checkpoint as ckpt
 
