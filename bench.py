@@ -205,6 +205,25 @@ def main() -> int:
     log(f"config 2 (30-frame 480p clip, wall-clock incl host+link): "
         f"{wall:.2f}s = {30/wall:.1f} fps")
 
+    # decode-inclusive file path (SURVEY §4.2: decode vs H2D vs compute
+    # breakdown): stream the same clip from disk through the native
+    # decoder -> device -> encoder
+    import os
+    import tempfile
+
+    from pwstablenet_tpu.data import video_io
+
+    with tempfile.TemporaryDirectory(prefix="pwstable_bench_") as td:
+        inp = os.path.join(td, "in.avi")
+        outp = os.path.join(td, "out.avi")
+        video_io.write_video(inp, clip, 30.0)
+        t0 = time.perf_counter()
+        r = stab.stabilize_video(inp, outp)
+        wall_file = time.perf_counter() - t0
+        results["fps_480p_file_wall"] = r["frames"] / wall_file
+        log(f"config 2 (file->file incl. decode+encode): "
+            f"{wall_file:.2f}s = {r['frames']/wall_file:.1f} fps")
+
     # decomposition of one chunk's phases (serial; the pipeline overlaps
     # them via its bounded in-flight queue)
     chunk = clip[: n + T - 1]
