@@ -142,6 +142,38 @@ def test_fused_warp_flow_gradient_matches_xla():
     )
 
 
+def test_padded_kernel_fuzz_odd_geometries():
+    """Randomized sweep over awkward geometries, modes, and align
+    conventions — the padded wrapper must be exact everywhere."""
+    from pwstablenet_tpu.kernels.grid_sample_pallas import (
+        grid_sample_pallas_padded,
+    )
+
+    rng = np.random.default_rng(11)
+    cases = [
+        ((1, 33, 129, 1), "border", True, 0.3),
+        ((2, 50, 77, 3), "zeros", False, 0.2),
+        ((1, 9, 200, 2), "reflection", True, 0.6),
+        ((1, 24, 131, 1), "border", False, 1.2),  # huge displacements
+    ]
+    for shape, pm, ac, mag in cases:
+        b, h, w, c = shape
+        img = jnp.asarray(rng.random(shape, np.float32))
+        lf = (rng.random((b, 4, 4, 2), np.float32) - 0.5) * mag
+        flow = jax.image.resize(jnp.asarray(lf), (b, h, w, 2), "bilinear")
+        grid = flow_to_grid(flow)
+        ref = grid_sample(
+            img, grid, padding_mode=pm, align_corners=ac
+        )
+        out = grid_sample_pallas_padded(
+            img, grid, padding_mode=pm, align_corners=ac, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5,
+            err_msg=f"case {shape} {pm} ac={ac} mag={mag}",
+        )
+
+
 @pytest.mark.parametrize("padding_mode", ["border", "zeros"])
 @pytest.mark.parametrize("hw", [(16, 96), (22, 130)])
 def test_padded_kernel_matches_oracle(padding_mode, hw):
