@@ -79,10 +79,13 @@ def cmd_stabilize(args) -> int:
             params = load_torch_checkpoint(args.checkpoint, model_cfg)
         else:
             # accepts a params export OR a training checkpoint dir
-            # (EMA weights preferred when tracked)
+            # (EMA weights preferred when tracked; --checkpoint-step
+            # selects the best-eval step instead of the latest)
             from pwstablenet_tpu.train import checkpoint as ckpt
 
-            params = ckpt.load_generator_params(args.checkpoint)
+            params = ckpt.load_generator_params(
+                args.checkpoint, step=args.checkpoint_step
+            )
     stab = Stabilizer(model_cfg, pipe_cfg, params=params, mesh=mesh)
 
     if args.synthetic:
@@ -299,6 +302,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--input")
     s.add_argument("--output")
     s.add_argument("--checkpoint")
+    s.add_argument("--checkpoint-step", type=int, default=None,
+                   help="pick this step from a training checkpoint dir "
+                        "(default: latest) — use the eval hook's best")
     s.add_argument("--warp-fields", help="save warp fields to .npz")
     s.add_argument("--data-parallel", action="store_true",
                    help="clip-sharded inference over all local devices")

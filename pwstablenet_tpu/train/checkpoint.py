@@ -69,19 +69,25 @@ def load_params(path: str, template=None):
     return ckpt.restore(os.path.abspath(path))
 
 
-def load_generator_params(path: str, prefer_ema: bool = True):
+def load_generator_params(
+    path: str, prefer_ema: bool = True, step: Optional[int] = None
+):
     """Generator weights from EITHER kind of checkpoint path:
 
     - a training checkpoint directory (``CheckpointManager`` layout with
-      numbered step subdirs, as written by the train loop): restores the
-      latest step's TrainState pytree and returns its EMA weights when
-      tracked (``TrainConfig.ema_decay``), else the raw generator params;
+      numbered step subdirs, as written by the train loop): restores
+      ``step`` (or the latest) TrainState pytree and returns its EMA
+      weights when tracked (``TrainConfig.ema_decay``), else the raw
+      generator params.  ``step`` enables best-step selection — GAN
+      quality is non-monotonic, so pick the step the eval hook scored
+      highest;
     - a ``save_params`` inference-only export: returned as-is.
 
     Lets ``stabilize --checkpoint`` point straight at ``--checkpoint-dir``
     without an explicit export step.
     """
-    step = latest_step(path)
+    if step is None:
+        step = latest_step(path)
     if step is None:
         return load_params(path)
     with _manager(path, keep=10_000) as mgr:

@@ -118,6 +118,15 @@ def test_load_generator_params_from_train_dir(tmp_path):
     )
     assert _tree_allclose(got_raw, state.g_params)
 
+    # explicit best-step selection: step 1 of a 2-step run
+    _, s2 = _run_steps(cfg, n=2)
+    ckpt.save_state(str(tmp_path / "ck_multi"), state, keep=5)
+    ckpt.save_state(str(tmp_path / "ck_multi"), s2, keep=5)
+    got_s1 = ckpt.load_generator_params(str(tmp_path / "ck_multi"), step=1)
+    assert _tree_allclose(got_s1, state.g_ema)
+    got_latest = ckpt.load_generator_params(str(tmp_path / "ck_multi"))
+    assert _tree_allclose(got_latest, s2.g_ema)
+
     # without EMA tracking -> raw params
     _, state2 = _run_steps(_cfg(), n=1)
     ckpt.save_state(str(tmp_path / "ck2"), state2, keep=1)
