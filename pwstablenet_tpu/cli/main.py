@@ -147,18 +147,27 @@ def cmd_train(args) -> int:
     )
     eval_fn = None
     if args.synthetic:
-        batches = synthetic_batch_iterator(model_cfg, train_cfg)
+        batches = synthetic_batch_iterator(
+            model_cfg, train_cfg, rich=args.rich
+        )
         if args.eval_every > 0:
-            from pwstablenet_tpu.data.synthetic import synthetic_pair_clip
+            from pwstablenet_tpu.data.synthetic import RICH, synthetic_pair_clip
             from pwstablenet_tpu.eval.hooks import make_clip_eval_hook
 
             stable, unstable = synthetic_pair_clip(
-                24, 96, 128, seed=10_000
+                24, 96, 128, seed=10_000, **(RICH if args.rich else {})
             )
             eval_fn = make_clip_eval_hook(
                 model_cfg, unstable, stable_clip=stable, batch_windows=4
             )
     else:
+        if (args.eval_every > 0) != bool(args.eval_clip):
+            # one without the other silently yields no periodic eval —
+            # fail loudly instead (advisor finding, round 1)
+            build_parser().error(
+                "DeepStab mode needs BOTH --eval-every and --eval-clip "
+                "for periodic eval (got only one)"
+            )
         from pwstablenet_tpu.data.deepstab import (
             DeepStabDataset,
             batch_iterator,
@@ -285,10 +294,11 @@ def cmd_make_data(args) -> int:
         height=args.height,
         width=args.width,
         seed=args.seed,
+        rich=args.rich,
     )
     print(json.dumps({
         "root": args.out, "pairs": args.pairs, "frames": args.frames,
-        "height": args.height, "width": args.width,
+        "height": args.height, "width": args.width, "rich": args.rich,
     }))
     return 0
 
@@ -325,6 +335,10 @@ def build_parser() -> argparse.ArgumentParser:
     _add_model_args(t)
     t.add_argument("--data-root", default="DeepStab")
     t.add_argument("--synthetic", action="store_true")
+    t.add_argument("--rich", action="store_true",
+                   help="full synthetic scene model (perspective shake, "
+                        "parallax, occluders, photometric jitter) for "
+                        "--synthetic batches and the held-out eval clip")
     t.add_argument("--batch-size", type=int, default=8)
     t.add_argument("--steps", type=int, default=1000)
     t.add_argument("--checkpoint-dir", default="checkpoints")
@@ -391,6 +405,10 @@ def build_parser() -> argparse.ArgumentParser:
              "(<out>/{stable,unstable}/*.avi pairs)",
     )
     d.add_argument("--out", required=True)
+    d.add_argument("--rich", action="store_true",
+                   help="full scene model: perspective shake, parallax "
+                        "layers, moving occluders, photometric jitter, "
+                        "per-pair motion diversity")
     d.add_argument("--pairs", type=int, default=4)
     d.add_argument("--frames", type=int, default=60)
     d.add_argument("--height", type=int, default=288)

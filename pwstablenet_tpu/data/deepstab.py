@@ -214,15 +214,34 @@ def write_synthetic_deepstab(
     height: int = 288,
     width: int = 384,
     seed: int = 0,
+    rich: bool = False,
+    **clip_kwargs,
 ) -> None:
     """Materialize a tiny synthetic DeepStab-shaped dataset on disk
-    (for tests and smoke training without the real download)."""
-    from pwstablenet_tpu.data.synthetic import synthetic_pair_clip
+    (for tests and smoke training without the real download).
 
+    ``rich=True`` enables the full scene model (perspective shake,
+    parallax layers, moving occluders, photometric jitter — see
+    ``data.synthetic.RICH``) with per-pair shake/pan diversity; extra
+    kwargs pass through to ``synthetic_pair_clip``.
+    """
+    from pwstablenet_tpu.data.synthetic import RICH, synthetic_pair_clip
+
+    if rich:
+        clip_kwargs = {**RICH, **clip_kwargs}
+    rng = np.random.default_rng(seed)
     os.makedirs(os.path.join(root, "stable"), exist_ok=True)
     os.makedirs(os.path.join(root, "unstable"), exist_ok=True)
     for i in range(num_pairs):
-        s, u = synthetic_pair_clip(frames, height, width, seed=seed + i)
+        kw = dict(clip_kwargs)
+        if rich:
+            # per-pair motion diversity (measured round-1 finding: data
+            # diversity, not step count, is the quality lever)
+            kw.setdefault("shake_px", float(rng.uniform(3.0, 9.0)))
+            kw.setdefault("pan_px", float(rng.uniform(0.3, 1.8)))
+        s, u = synthetic_pair_clip(
+            frames, height, width, seed=seed + i, **kw
+        )
         video_io.write_video(
             os.path.join(root, "stable", f"{i:02d}.avi"), s, 30.0, "MJPG"
         )

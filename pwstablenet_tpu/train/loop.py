@@ -179,12 +179,14 @@ def _run_loop(
 
 
 def synthetic_batch_iterator(
-    model_cfg: ModelConfig, train_cfg: TrainConfig, seed: int = 0
+    model_cfg: ModelConfig, train_cfg: TrainConfig, seed: int = 0,
+    rich: bool = False, **clip_kwargs,
 ) -> Iterator[dict]:
     """Endless synthetic DeepStab-like batches (for tests/smoke runs).
 
     Prefetched on a background thread (like the DeepStab loader) so
     host-side generation overlaps device compute in the train loop.
+    ``rich=True`` enables the full scene model (``data.synthetic.RICH``).
     """
     from pwstablenet_tpu.data.synthetic import make_train_batch
     from pwstablenet_tpu.data.video_io import Prefetcher
@@ -195,7 +197,8 @@ def synthetic_batch_iterator(
         i = seed
         while True:
             yield make_train_batch(
-                train_cfg.batch_size, h, w, model_cfg.temporal_window, seed=i
+                train_cfg.batch_size, h, w, model_cfg.temporal_window,
+                seed=i, rich=rich, **clip_kwargs,
             )
             i += 1
 
