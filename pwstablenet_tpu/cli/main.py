@@ -15,6 +15,18 @@ import json
 import sys
 
 
+def _step_or_best(value: str):
+    """--checkpoint-step accepts a step number or the literal 'best'."""
+    if value == "best":
+        return value
+    try:
+        return int(value)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"expected a step number or 'best', got {value!r}"
+        )
+
+
 def _add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--temporal-window", type=int, default=None)
     p.add_argument("--num-stages", type=int, default=None)
@@ -133,6 +145,7 @@ def cmd_train(args) -> int:
         lr_g=args.lr,
         lr_d=args.lr,
         gan_loss=args.gan_loss,
+        temporal_mode=args.temporal_mode,
         grad_accum_steps=args.grad_accum,
         checkpoint_dir=args.checkpoint_dir,
         log_every=args.log_every,
@@ -312,9 +325,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--input")
     s.add_argument("--output")
     s.add_argument("--checkpoint")
-    s.add_argument("--checkpoint-step", type=int, default=None,
+    s.add_argument("--checkpoint-step", type=_step_or_best, default=None,
                    help="pick this step from a training checkpoint dir "
-                        "(default: latest) — use the eval hook's best")
+                        "(default: latest), or 'best' for the "
+                        "auto-tracked best-eval export")
     s.add_argument("--warp-fields", help="save warp fields to .npz")
     s.add_argument("--data-parallel", action="store_true",
                    help="clip-sharded inference over all local devices")
@@ -346,6 +360,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--lr", type=float, default=2e-4)
     t.add_argument("--gan-loss", choices=["lsgan", "vanilla", "hinge"],
                    default="lsgan")
+    t.add_argument("--temporal-mode", choices=["raw", "compensated"],
+                   default="compensated",
+                   help="C13 temporal loss: raw |out_t-out_t+1| or "
+                        "GT-motion-compensated |Δout-Δgt| (pans free)")
     t.add_argument("--grad-accum", type=int, default=1,
                    help="micro-batch gradient accumulation steps")
     t.add_argument("--log-every", type=int, default=50)

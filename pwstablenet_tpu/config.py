@@ -110,6 +110,13 @@ class TrainConfig:
 
     gan_loss: str = "lsgan"           # lsgan | vanilla | hinge
 
+    # temporal-consistency form (C13): "raw" penalizes |out_t - out_{t+1}|
+    # directly (reference behavior; fights legitimate pans);
+    # "compensated" penalizes |Δout - Δgt| — the GT stable-to-stable
+    # motion cancels, so pans are free and only residual jitter is
+    # suppressed (train/losses.temporal_loss_compensated)
+    temporal_mode: str = "compensated"
+
     # micro-batch gradient accumulation: grads average over
     # batch_size/grad_accum_steps-sized micro-batches before ONE G and
     # ONE D update (large effective batches within one chip's HBM)

@@ -113,7 +113,16 @@ class DeepStabDataset:
         n = min(u.num_frames, s.num_frames)
         lo_need = half * stride
         hi_need = (half + 1) * stride + 1
-        t = int(rng.integers(lo_need, max(n - hi_need, lo_need + 1)))
+        if n <= lo_need + hi_need:
+            # otherwise the clamped draw below can emit a t whose window
+            # reads past the end, surfacing as a raw frame-read IOError
+            raise ValueError(
+                f"video pair {os.path.basename(u_path)!r} has only {n} "
+                f"frames; temporal_window={self.window} with "
+                f"frame_stride={stride} needs at least "
+                f"{lo_need + hi_need + 1}"
+            )
+        t = int(rng.integers(lo_need, n - hi_need))
 
         # decode the union of frames needed for both time steps
         span = [

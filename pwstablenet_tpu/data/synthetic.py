@@ -221,8 +221,14 @@ def synthetic_pair_clip(
 
     # ---- photometric model -------------------------------------------
     # static per-channel gain mismatch between the two cameras, plus a
-    # mean-reverting exposure-flicker walk and sensor noise (unstable only)
-    cam_gain = 1.0 + rng.standard_normal(3).astype(np.float32) * 0.05 * photometric
+    # mean-reverting exposure-flicker walk and sensor noise (unstable
+    # only).  All draws are GATED on the knob so knob-off clips consume
+    # exactly the original generator's rng stream (bit-identical output
+    # keeps round-1 training/eval results reproducible).
+    cam_gain = (
+        1.0 + rng.standard_normal(3).astype(np.float32) * 0.05 * photometric
+        if photometric > 0 else np.ones(3, np.float32)
+    )
     flicker = 0.0
     noise_sigma = 0.02 * photometric
 
@@ -249,17 +255,18 @@ def synthetic_pair_clip(
         # random-walk shake, mean-reverting: translation + rotation + persp.
         jitter = 0.7 * jitter + rng.standard_normal(2).astype(np.float32) * shake_px * 0.5
         theta = rng.standard_normal() * 0.004
-        persp = 0.7 * persp + rng.standard_normal(2).astype(np.float32) * p_scale * 0.5
         ry = np.cos(theta) * (gy - cy) - np.sin(theta) * (gx - cx)
         rx = np.sin(theta) * (gy - cy) + np.cos(theta) * (gx - cx)
         if perspective > 0:
+            persp = 0.7 * persp + rng.standard_normal(2).astype(np.float32) * p_scale * 0.5
             denom = 1.0 + persp[0] * ry + persp[1] * rx
             ry = ry / denom
             rx = rx / denom
         ry = ry + cy
         rx = rx + cx
         frame = render(ry, rx, oy + jitter[0], ox + jitter[1], t)
-        flicker = 0.6 * flicker + rng.standard_normal() * 0.05 * photometric
+        if photometric > 0:
+            flicker = 0.6 * flicker + rng.standard_normal() * 0.05 * photometric
         unstable_frames.append(photometric_jitter(frame, 1.0 + flicker))
     return np.stack(stable_frames), np.stack(unstable_frames)
 

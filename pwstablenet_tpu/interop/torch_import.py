@@ -13,7 +13,9 @@ Weight-layout rules (locked by ``tests/test_torch_parity.py``):
   180-degree spatial flip: torch's ConvTranspose2d is the gradient of
   Conv2d while ``flax.linen.ConvTranspose`` is a fractionally-strided
   conv with an unflipped kernel.
-- ``InstanceNorm2d.weight/bias`` -> InstanceNorm ``scale``/``bias``.
+- norm ``weight``/``bias`` -> ``scale``/``bias`` — uniformly for
+  instance (InstanceNorm2d), batch (stats-free BatchNorm2d) and group
+  (GroupNorm) kinds; ``norm="none"`` has no norm params.
 """
 
 from __future__ import annotations
@@ -50,7 +52,7 @@ def torch_state_dict_to_flax(state_dict, cfg) -> Dict:
                     "bias": sd[p + f"downs.{i}.bias"],
                 }
             }
-            if 0 < i < L - 1 and cfg.norm == "instance":
+            if 0 < i < L - 1 and cfg.norm != "none":
                 stage[f"down{i}"]["norm"] = {
                     "scale": sd[p + f"dnorms.{i}.weight"],
                     "bias": sd[p + f"dnorms.{i}.bias"],
@@ -63,7 +65,7 @@ def torch_state_dict_to_flax(state_dict, cfg) -> Dict:
                     "bias": sd[p + f"ups.{level}.bias"],
                 }
             }
-            if cfg.norm == "instance":
+            if cfg.norm != "none":
                 stage[f"up{level}"]["norm"] = {
                     "scale": sd[p + f"unorms.{level}.weight"],
                     "bias": sd[p + f"unorms.{level}.bias"],

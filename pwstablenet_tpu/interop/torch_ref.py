@@ -30,9 +30,19 @@ from pwstablenet_tpu.config import ModelConfig
 def _norm(kind: str, ch: int) -> nn.Module:
     if kind == "instance":
         return nn.InstanceNorm2d(ch, affine=True, eps=1e-5)
+    if kind == "batch":
+        # mirror of models.blocks.BatchNorm: stats-free (batch statistics
+        # at train AND test time, pix2pix-style) — track_running_stats
+        # off makes torch use batch stats in eval mode too
+        return nn.BatchNorm2d(ch, affine=True, eps=1e-5,
+                              track_running_stats=False)
+    if kind == "group":
+        # mirror of flax.linen.GroupNorm(num_groups=8): contiguous
+        # channel grouping both sides; eps matches flax's 1e-6 default
+        return nn.GroupNorm(8, ch, eps=1e-6)
     if kind == "none":
         return nn.Identity()
-    raise NotImplementedError(f"torch ref supports instance/none, got {kind}")
+    raise ValueError(f"unknown norm kind {kind!r}")
 
 
 class TorchStageUNet(nn.Module):

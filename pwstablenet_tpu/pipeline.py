@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import sys
 from typing import Iterator, Optional, Tuple
 
 import jax
@@ -184,7 +185,18 @@ class Stabilizer:
                     input_path, chunk_frames=chunk,
                     queue_depth=cfg.prefetch_depth,
                 )
-            except Exception:
+            except FileNotFoundError:
+                raise  # missing input is the caller's error, not a fallback
+            except Exception as e:
+                # a broken native build (ABI mismatch, partial .so) must
+                # degrade LOUDLY to the Python path, not silently
+                # (advisor finding, round 1)
+                print(
+                    "pwstablenet_tpu: native video decoder failed "
+                    f"({type(e).__name__}: {e}); falling back to the "
+                    "Python OpenCV path",
+                    file=sys.stderr,
+                )
                 decoder = None
         if decoder is not None:
             fps, h, w = decoder.fps, decoder.height, decoder.width

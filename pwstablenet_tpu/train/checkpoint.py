@@ -5,26 +5,54 @@ both optimizer states, frozen feature params, PRNG key and step — so
 ``--resume`` restores training exactly.  The reference's
 ``torch.save(state_dict)`` equivalent for inference-only export is
 ``save_params`` / ``load_params``.
+
+Best-step tracking (SURVEY.md section 5.5; GAN quality is
+non-monotonic): the train loop calls ``save_best`` whenever the eval
+hook reports a new best score — the generator's inference weights (EMA
+when tracked) are exported to ``<dir>/best`` and the step/score are
+recorded in ``<dir>/best_step.json``.  ``load_generator_params(path,
+step="best")`` (CLI: ``--checkpoint-step best``) loads that export, so
+the best weights survive checkpoint pruning (``keep_checkpoints``).
 """
 
 from __future__ import annotations
 
+import json
 import os
-from typing import Optional
+import sys
+from typing import List, Optional, Union
 
 import jax
 import orbax.checkpoint as ocp
 
 from pwstablenet_tpu.train.state import TrainState
 
+BEST_FILE = "best_step.json"
+BEST_DIR = "best"
 
-def _manager(directory: str, keep: int) -> ocp.CheckpointManager:
+
+def _manager(
+    directory: str, keep: int, create: bool = True
+) -> ocp.CheckpointManager:
     return ocp.CheckpointManager(
         os.path.abspath(directory),
         options=ocp.CheckpointManagerOptions(
-            max_to_keep=keep, create=True
+            max_to_keep=keep, create=create
         ),
     )
+
+
+def _numbered_steps(directory: str) -> List[int]:
+    """Saved step numbers, probed WITHOUT instantiating a manager (a
+    read-only query must not write manager metadata into arbitrary user
+    paths — advisor finding, round 1)."""
+    if not os.path.isdir(directory):
+        return []
+    steps = []
+    for name in os.listdir(directory):
+        if name.isdigit() and os.path.isdir(os.path.join(directory, name)):
+            steps.append(int(name))
+    return sorted(steps)
 
 
 def save_state(directory: str, state: TrainState, keep: int = 3) -> int:
@@ -36,27 +64,93 @@ def save_state(directory: str, state: TrainState, keep: int = 3) -> int:
 
 
 def restore_state(
-    directory: str, template: TrainState, step: Optional[int] = None
+    directory: str,
+    template: TrainState,
+    step: Optional[int] = None,
+    reconcile_ema: bool = True,
 ) -> TrainState:
-    """Restore into the structure of ``template`` (shapes must match)."""
-    with _manager(directory, keep=10_000) as mgr:
-        step = mgr.latest_step() if step is None else step
+    """Restore into the structure of ``template`` (shapes must match).
+
+    ``reconcile_ema`` handles resuming with a different ``--ema-decay``
+    on/off setting than the original run (the checkpoint's ``g_ema``
+    presence then mismatches the template): the EMA is either dropped
+    (checkpoint has one, run doesn't track it) or re-initialized from
+    the restored generator params (run tracks one, checkpoint doesn't),
+    with a stderr notice either way — instead of an opaque orbax
+    structure error (advisor finding, round 1).
+    """
+    steps = _numbered_steps(directory)
+    if step is None:
+        step = steps[-1] if steps else None
         if step is None:
             raise FileNotFoundError(f"no checkpoint found in {directory!r}")
-        return mgr.restore(step, args=ocp.args.StandardRestore(template))
+    elif steps and step not in steps:
+        raise FileNotFoundError(
+            f"step {step} not found in {directory!r}; available: {steps}"
+        )
+    with _manager(directory, keep=10_000, create=False) as mgr:
+        try:
+            return mgr.restore(step, args=ocp.args.StandardRestore(template))
+        except Exception:
+            if not reconcile_ema:
+                raise
+            ckpt_has_ema = _checkpoint_has_ema(mgr, step)
+            template_has_ema = template.g_ema is not None
+            if ckpt_has_ema == template_has_ema:
+                raise  # not an EMA-presence mismatch — surface the real error
+            if ckpt_has_ema and not template_has_ema:
+                # restore WITH an EMA slot, then drop it
+                t2 = template.replace(
+                    g_ema=jax.tree_util.tree_map(lambda x: x, template.g_params)
+                )
+                restored = mgr.restore(step, args=ocp.args.StandardRestore(t2))
+                print(
+                    json.dumps({
+                        "event": "ema_dropped_on_resume",
+                        "reason": "checkpoint tracks an EMA but this run "
+                                  "has ema_decay=0",
+                    }),
+                    file=sys.stderr,
+                )
+                return restored.replace(g_ema=None)
+            # run tracks an EMA but the checkpoint has none: restore
+            # without the slot and re-init the EMA from the restored params
+            t2 = template.replace(g_ema=None)
+            restored = mgr.restore(step, args=ocp.args.StandardRestore(t2))
+            print(
+                json.dumps({
+                    "event": "ema_initialized_on_resume",
+                    "reason": "this run tracks an EMA but the checkpoint "
+                              "has none; starting it at the restored params",
+                }),
+                file=sys.stderr,
+            )
+            import jax.numpy as jnp
+
+            return restored.replace(
+                g_ema=jax.tree_util.tree_map(jnp.copy, restored.g_params)
+            )
+
+
+def _checkpoint_has_ema(mgr: ocp.CheckpointManager, step: int) -> bool:
+    """Whether the saved pytree carries a non-empty g_ema subtree."""
+    try:
+        raw = mgr.restore(step)  # structure-free restore
+        ema = raw.get("g_ema") if isinstance(raw, dict) else None
+        return bool(ema)
+    except Exception:
+        return False
 
 
 def latest_step(directory: str) -> Optional[int]:
-    if not os.path.isdir(directory):
-        return None
-    with _manager(directory, keep=10_000) as mgr:
-        return mgr.latest_step()
+    steps = _numbered_steps(directory)
+    return steps[-1] if steps else None
 
 
 def save_params(path: str, params) -> None:
     """Inference-only export (generator params)."""
     ckpt = ocp.StandardCheckpointer()
-    ckpt.save(os.path.abspath(path), params)
+    ckpt.save(os.path.abspath(path), params, force=True)
     ckpt.wait_until_finished()
 
 
@@ -69,8 +163,37 @@ def load_params(path: str, template=None):
     return ckpt.restore(os.path.abspath(path))
 
 
+def save_best(
+    directory: str, state: TrainState, step: int, metric: str, value: float
+) -> None:
+    """Record a new best eval score: export the inference weights (EMA
+    when tracked) to ``<directory>/best`` and write ``best_step.json``.
+    Called by the train loop; survives checkpoint pruning."""
+    from pwstablenet_tpu.train.state import generator_params
+
+    os.makedirs(directory, exist_ok=True)
+    save_params(
+        os.path.join(directory, BEST_DIR),
+        jax.device_get(generator_params(state)),
+    )
+    with open(os.path.join(directory, BEST_FILE), "w") as f:
+        json.dump({"step": int(step), "metric": metric,
+                   "value": float(value)}, f)
+
+
+def best_step(directory: str) -> Optional[dict]:
+    """The recorded best-eval step info ({step, metric, value}), or None."""
+    path = os.path.join(directory, BEST_FILE)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
 def load_generator_params(
-    path: str, prefer_ema: bool = True, step: Optional[int] = None
+    path: str,
+    prefer_ema: bool = True,
+    step: Optional[Union[int, str]] = None,
 ):
     """Generator weights from EITHER kind of checkpoint path:
 
@@ -80,17 +203,40 @@ def load_generator_params(
       weights when tracked (``TrainConfig.ema_decay``), else the raw
       generator params.  ``step`` enables best-step selection — GAN
       quality is non-monotonic, so pick the step the eval hook scored
-      highest;
+      highest; ``step="best"`` loads the auto-tracked best export
+      (``save_best`` — robust to checkpoint pruning);
     - a ``save_params`` inference-only export: returned as-is.
 
     Lets ``stabilize --checkpoint`` point straight at ``--checkpoint-dir``
     without an explicit export step.
     """
+    if step == "best":
+        info = best_step(path)
+        best_dir = os.path.join(path, BEST_DIR)
+        if info is None or not os.path.isdir(best_dir):
+            raise FileNotFoundError(
+                f"no best-step record in {path!r} (run training with "
+                "--eval-every so the loop can track the best eval score)"
+            )
+        return load_params(best_dir)
+    steps = _numbered_steps(path)
     if step is None:
-        step = latest_step(path)
+        step = steps[-1] if steps else None
+    elif step not in steps:
+        hint = ""
+        info = best_step(path)
+        if info is not None:
+            hint = (
+                f"; 'best' export available (step {info['step']}, "
+                f"{info['metric']}={info['value']:.4f})"
+            )
+        raise FileNotFoundError(
+            f"step {step} not found in {path!r} — available: {steps} "
+            f"(older steps are pruned by keep_checkpoints){hint}"
+        )
     if step is None:
         return load_params(path)
-    with _manager(path, keep=10_000) as mgr:
+    with _manager(path, keep=10_000, create=False) as mgr:
         state = mgr.restore(step)  # raw pytree (no template needed)
     ema = state.get("g_ema") if isinstance(state, dict) else None
     if prefer_ema and ema:  # non-empty dict => EMA was tracked

@@ -128,6 +128,9 @@ def _run_loop(
     step = int(state.step)  # one sync, at entry (covers resume)
     t_last = time.perf_counter()
     last_logged = step
+    # best-eval tracking (GAN quality is non-monotonic): resume-aware
+    prev_best = ckpt.best_step(train_cfg.checkpoint_dir)
+    best_value = prev_best["value"] if prev_best else float("-inf")
     next_batch = shard_batch(
         jax.tree_util.tree_map(np.asarray, next(batch_iterator)), mesh
     )
@@ -170,6 +173,25 @@ def _run_loop(
             scalars = {k: float(v) for k, v in eval_fn(state).items()}
             scalars["step"] = step
             log(scalars)
+            # auto-track the best eval step: export the inference
+            # weights to <ckpt_dir>/best + best_step.json so the best
+            # weights survive checkpoint pruning (`--checkpoint-step
+            # best` loads them)
+            if "eval_stability" in scalars and (
+                scalars["eval_stability"] > best_value
+            ):
+                best_value = scalars["eval_stability"]
+                ckpt.save_best(
+                    train_cfg.checkpoint_dir, state, step,
+                    "eval_stability", best_value,
+                )
+                print(
+                    json.dumps({
+                        "event": "new_best", "step": step,
+                        "eval_stability": best_value,
+                    }),
+                    file=sys.stderr,
+                )
 
         if step % train_cfg.checkpoint_every == 0 or step == total:
             ckpt.save_state(

@@ -92,11 +92,37 @@ def temporal_loss(stabilized_pair: Array) -> Array:
     ``stabilized_pair``: (B, 2, H, W, C) — outputs for frames t-1 and t
     of the same clip.  Penalizes their difference; static-camera GT
     makes adjacent stable frames nearly identical, so this directly
-    suppresses residual jitter.
+    suppresses residual jitter.  NOTE: a panning stable camera makes
+    adjacent GT frames legitimately differ — this raw form then fights
+    the pan; prefer ``temporal_loss_compensated`` when GT pairs exist.
     """
     a = stabilized_pair[:, 0].astype(jnp.float32)
     b = stabilized_pair[:, 1].astype(jnp.float32)
     return jnp.mean(jnp.abs(a - b))
+
+
+def temporal_loss_compensated(
+    stabilized_pair: Array, stable_pair: Array
+) -> Array:
+    """Motion-compensated temporal consistency (C13, demanding form).
+
+    Penalizes the deviation of the OUTPUT's temporal change from the
+    GROUND TRUTH's temporal change: ``|Δout − Δgt|`` with
+    ``Δx = x_{t+1} − x_t``.  A genuine pan appears identically in both
+    deltas and cancels (first-order motion compensation by the GT
+    stable-to-stable motion itself — no flow estimation needed), while
+    residual jitter survives in Δout and is suppressed.  Reduces to the
+    raw ``temporal_loss`` exactly when the GT camera is static.
+    """
+    d_out = (
+        stabilized_pair[:, 1].astype(jnp.float32)
+        - stabilized_pair[:, 0].astype(jnp.float32)
+    )
+    d_gt = (
+        stable_pair[:, 1].astype(jnp.float32)
+        - stable_pair[:, 0].astype(jnp.float32)
+    )
+    return jnp.mean(jnp.abs(d_out - d_gt))
 
 
 # --------------------------------------------------- warp regularization --

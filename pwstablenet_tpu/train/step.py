@@ -41,6 +41,16 @@ def _center(stack: Array, cfg: ModelConfig) -> Array:
     return stack[..., c0 : c0 + cfg.in_channels]
 
 
+def _temporal_term(train_cfg: TrainConfig, w_s: Array, stable: Array) -> Array:
+    """C13 temporal loss over the folded (2B, ...) tensors, in the
+    configured form (TrainConfig.temporal_mode)."""
+    pair = w_s.reshape((-1, 2) + w_s.shape[1:])
+    if train_cfg.temporal_mode == "compensated":
+        gt_pair = stable.reshape((-1, 2) + stable.shape[1:])
+        return losses.temporal_loss_compensated(pair, gt_pair)
+    return losses.temporal_loss(pair)
+
+
 def make_train_step(
     model_cfg: ModelConfig,
     train_cfg: TrainConfig,
@@ -50,6 +60,11 @@ def make_train_step(
 ):
     """Build the pure train_step; callers jit it (optionally with
     shardings — see ``parallel.data_parallel_step``)."""
+    if train_cfg.temporal_mode not in ("raw", "compensated"):
+        raise ValueError(
+            f"unknown temporal_mode {train_cfg.temporal_mode!r} "
+            "(raw | compensated)"
+        )
     g_tx, d_tx = make_optimizers(train_cfg)
 
     def warp_stages(flows, center):
@@ -138,9 +153,7 @@ def make_train_step(
                 pix = losses.pixel_loss(w_s, stable)
                 feats_pred = feat.apply(state.feat_params, w_s)
                 per = losses.feature_loss(feats_pred, feats_target)
-                tmp = losses.temporal_loss(
-                    w_s.reshape((-1, 2) + w_s.shape[1:])
-                )
+                tmp = _temporal_term(train_cfg, w_s, stable)
                 reg = losses.warp_smoothness_loss(flows_in[s])
                 stage_total = (
                     adv
@@ -308,9 +321,7 @@ def _make_accum_train_step(
                     per = losses.feature_loss(
                         feat.apply(state.feat_params, w_s), feats_target
                     )
-                    tmp = losses.temporal_loss(
-                        w_s.reshape((-1, 2) + w_s.shape[1:])
-                    )
+                    tmp = _temporal_term(train_cfg, w_s, stable)
                     reg = losses.warp_smoothness_loss(flows[s])
                     per_stage.append(
                         adv

@@ -100,6 +100,87 @@ def test_params_export_import(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_best_step_tracking(tmp_path):
+    """The loop records the best eval step (best_step.json + a params
+    export that survives pruning) and load_generator_params(step='best')
+    loads it (SURVEY 5.5; GAN quality is non-monotonic)."""
+    scores = iter([0.5, 0.9, 0.7])  # best at the 2nd eval (step 2)
+
+    def fake_eval(state):
+        return {"eval_stability": next(scores)}
+
+    cfg = _tcfg(tmp_path, steps_per_epoch=3, eval_every=1,
+                checkpoint_every=10)
+    train(TINY, cfg, synthetic_batch_iterator(TINY, cfg),
+          max_steps=3, log_fn=lambda m: None, eval_fn=fake_eval)
+
+    info = ckpt.best_step(cfg.checkpoint_dir)
+    assert info is not None
+    assert info["step"] == 2
+    assert info["metric"] == "eval_stability"
+    assert abs(info["value"] - 0.9) < 1e-9
+
+    params = ckpt.load_generator_params(cfg.checkpoint_dir, step="best")
+    assert jax.tree_util.tree_leaves(params)
+
+
+def test_missing_step_reports_available(tmp_path):
+    """Requesting a pruned/nonexistent step fails with the available
+    steps listed, not an opaque orbax error (advisor finding)."""
+    cfg = _tcfg(tmp_path)
+    state, _ = create_train_state(TINY, cfg, jax.random.PRNGKey(0))
+    ckpt.save_state(cfg.checkpoint_dir, state)
+    with pytest.raises(FileNotFoundError, match="available"):
+        ckpt.load_generator_params(cfg.checkpoint_dir, step=123456)
+
+
+def test_latest_step_is_read_only(tmp_path):
+    """latest_step on an arbitrary path must not create it or write
+    manager metadata into it (advisor finding)."""
+    target = tmp_path / "does_not_exist"
+    assert ckpt.latest_step(str(target)) is None
+    assert not target.exists()
+
+    # an existing non-checkpoint dir stays untouched
+    plain = tmp_path / "plain"
+    plain.mkdir()
+    (plain / "file.txt").write_text("x")
+    assert ckpt.latest_step(str(plain)) is None
+    assert sorted(p.name for p in plain.iterdir()) == ["file.txt"]
+
+
+@pytest.mark.parametrize("direction", ["drop", "init"])
+def test_resume_with_different_ema_setting(tmp_path, direction):
+    """Resuming with --ema-decay flipped on/off reconciles the template
+    with a clear notice instead of an opaque orbax structure error
+    (advisor finding)."""
+    ema_on = dict(ema_decay=0.99)
+    save_cfg = _tcfg(tmp_path, **(ema_on if direction == "drop" else {}))
+    state, (gen, disc, feat) = create_train_state(
+        TINY, save_cfg, jax.random.PRNGKey(0)
+    )
+    ckpt.save_state(save_cfg.checkpoint_dir, state)
+
+    load_cfg = _tcfg(tmp_path, **({} if direction == "drop" else ema_on))
+    template, _ = create_train_state(TINY, load_cfg, jax.random.PRNGKey(1))
+    restored = ckpt.restore_state(save_cfg.checkpoint_dir, template)
+    if direction == "drop":
+        assert restored.g_ema is None
+    else:
+        assert restored.g_ema is not None
+        for a, b in zip(
+            jax.tree_util.tree_leaves(restored.g_ema),
+            jax.tree_util.tree_leaves(restored.g_params),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # generator params restored exactly either way
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.g_params),
+        jax.tree_util.tree_leaves(restored.g_params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_scalar_log_file(tmp_path):
     """TrainConfig.scalar_log_path (SURVEY 5.5): the same JSONL scalars
     land in the file."""

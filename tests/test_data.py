@@ -55,6 +55,18 @@ def test_batch_iterator(deepstab_root):
     assert b["stable"].shape == (3, 2, 64, 64, 3)
 
 
+def test_too_short_video_clear_error(tmp_path):
+    """A video shorter than the temporal window raises a clear
+    ValueError at sample time, not a raw frame-read IOError."""
+    root = str(tmp_path / "short")
+    write_synthetic_deepstab(root, num_pairs=1, frames=4,
+                             height=96, width=128)
+    cfg = DataConfig(data_root=root, crop_size=(64, 64))
+    ds = DeepStabDataset(cfg, temporal_window=7)
+    with pytest.raises(ValueError, match="temporal_window"):
+        ds.sample(np.random.default_rng(0))
+
+
 def test_missing_dataset_raises():
     with pytest.raises(FileNotFoundError):
         DeepStabDataset(DataConfig(data_root="/nonexistent"), 3)

@@ -97,6 +97,133 @@ def test_multi_step_sharded_run():
     assert int(state.step) == 3
 
 
+def test_sharded_convergence_over_20_steps():
+    """Multi-step CONVERGENCE on the 8-device mesh (SURVEY section 4.2
+    multi-device tier): the pixel term actually decreases — not just a
+    finite-loss smoke run."""
+    state, (gen, disc, feat) = create_train_state(
+        TINY, TCFG, jax.random.PRNGKey(5)
+    )
+    mesh = make_mesh()
+    p_step = data_parallel_step(
+        make_train_step(TINY, TCFG, gen, disc, feat), mesh
+    )
+    state = replicate_tree(state, mesh)
+    # small fixed dataset cycled (4 batches x 5 epochs): convergence on
+    # it must be monotone-ish; fresh random batches at 20 steps are too
+    # noisy to assert a decrease on
+    batches = [
+        jax.tree_util.tree_map(
+            jnp.asarray,
+            make_train_batch(8, 16, 16, TINY.temporal_window, seed=100 + i),
+        )
+        for i in range(4)
+    ]
+    pixels = []
+    for i in range(20):
+        state, metrics = p_step(state, shard_batch(batches[i % 4], mesh))
+        pixels.append(float(metrics["pixel"]))
+    assert int(state.step) == 20
+    assert all(np.isfinite(p) for p in pixels)
+    first, last = np.mean(pixels[:4]), np.mean(pixels[-4:])
+    assert last < first, f"pixel loss did not decrease: {first} -> {last}"
+
+
+def test_grad_accum_under_data_parallel_matches():
+    """grad_accum x DP interaction: micro-batch accumulation inside each
+    shard + cross-device gradient mean == the plain DP step on the same
+    global batch (means of means over equal-sized groups)."""
+    import dataclasses
+
+    cfg_plain = TCFG
+    cfg_accum = dataclasses.replace(TCFG, grad_accum_steps=2)
+    state, (gen, disc, feat) = create_train_state(
+        TINY, cfg_plain, jax.random.PRNGKey(6)
+    )
+    batch = jax.tree_util.tree_map(
+        jnp.asarray, make_train_batch(8, 16, 16, TINY.temporal_window, seed=21)
+    )
+    mesh = make_mesh()
+
+    p_plain = data_parallel_step(
+        make_train_step(TINY, cfg_plain, gen, disc, feat), mesh
+    )
+    p_accum = data_parallel_step(
+        make_train_step(TINY, cfg_accum, gen, disc, feat), mesh
+    )
+    # host-side snapshot: device_put may ALIAS existing device buffers
+    # into the replicated array, and the DP step donates its input — a
+    # second replicate_tree(state) would then see deleted buffers
+    host_state = jax.tree_util.tree_map(np.asarray, state)
+    s1, m1 = p_plain(
+        replicate_tree(host_state, mesh), shard_batch(batch, mesh)
+    )
+    s2, m2 = p_accum(
+        replicate_tree(host_state, mesh), shard_batch(batch, mesh)
+    )
+    np.testing.assert_allclose(
+        float(m1["loss_d"]), float(m2["loss_d"]), rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        float(m1["loss_g"]), float(m2["loss_g"]), rtol=1e-3
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.g_params),
+        jax.tree_util.tree_leaves(s2.g_params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=2.5 * TCFG.lr_g
+        )
+
+
+def test_batchnorm_uses_global_batch_stats_under_sharding():
+    """blocks.py's BatchNorm claims SPMD turns the batch mean into a
+    cross-device collective (global-batch statistics).  Verify: a
+    batch whose per-sample statistics differ wildly produces the SAME
+    output sharded as unsharded — per-device (local) stats would not."""
+    import dataclasses as dc
+
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from pwstablenet_tpu.models import CascadedGenerator
+
+    cfg = dc.replace(TINY, norm="batch", num_stages=1)
+    gen = CascadedGenerator(cfg)
+    rng = np.random.default_rng(0)
+    # per-sample offsets/scales spread across devices: local stats
+    # differ from global stats by construction
+    x = rng.standard_normal((8, 16, 16, cfg.stack_channels)).astype(np.float32)
+    x += np.arange(8, dtype=np.float32)[:, None, None, None] * 2.0
+    x *= (1.0 + np.arange(8, dtype=np.float32) / 4.0)[:, None, None, None]
+    import flax
+
+    params = flax.core.unfreeze(gen.init(jax.random.PRNGKey(0), jnp.asarray(x)))
+    # the warp head is zero-init (identity warp) — randomize it so the
+    # flows actually depend on the normalized activations
+    head = params["params"]["stage0"]["head"]
+    head["kernel"] = jnp.asarray(
+        rng.standard_normal(head["kernel"].shape).astype(np.float32) * 0.05
+    )
+
+    ref = jax.jit(gen.apply)(params, jnp.asarray(x))[0]
+    assert float(jnp.abs(ref).max()) > 1e-4  # nontrivial output
+
+    mesh = make_mesh()
+    shard = NamedSharding(mesh, PartitionSpec("data"))
+    rep = NamedSharding(mesh, PartitionSpec())
+    sharded_apply = jax.jit(
+        lambda p, xx: gen.apply(p, xx)[0],
+        in_shardings=(rep, shard),
+        out_shardings=rep,
+    )
+    out = sharded_apply(
+        jax.device_put(params, rep), jax.device_put(jnp.asarray(x), shard)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_clip_sharded_inference_matches_single_device():
     """Clip-sharded inference (SURVEY.md section 5.7): window batches
     sharded over the mesh produce identical stabilized output."""

@@ -81,6 +81,41 @@ def test_stabilize_video_missing_input(tmp_path):
         )
 
 
+def test_native_decoder_failure_falls_back_loudly(tmp_path, clip,
+                                                  monkeypatch, capsys):
+    """A broken native decoder (ABI mismatch / partial build) degrades
+    to the Python path with a stderr notice, not silently (advisor
+    finding, round 1); a missing input file still raises."""
+    from pwstablenet_tpu.data import native_io
+
+    monkeypatch.setattr(native_io, "available", lambda: True)
+
+    class BrokenDecoder:
+        def __init__(self, *a, **k):
+            raise RuntimeError("simulated ABI mismatch")
+
+    monkeypatch.setattr(native_io, "NativeDecoder", BrokenDecoder)
+
+    src = str(tmp_path / "in.avi")
+    dst = str(tmp_path / "out.avi")
+    video_io.write_video(src, clip, fps=10.0, codec="MJPG")
+    stab = Stabilizer(SMALL, PipelineConfig(batch_windows=4))
+    result = stab.stabilize_video(src, dst)
+    assert result["frames"] == clip.shape[0]
+    assert os.path.exists(dst)
+    err = capsys.readouterr().err
+    assert "native video decoder failed" in err
+    assert "simulated ABI mismatch" in err
+
+    class MissingFileDecoder:
+        def __init__(self, *a, **k):
+            raise FileNotFoundError("no such video")
+
+    monkeypatch.setattr(native_io, "NativeDecoder", MissingFileDecoder)
+    with pytest.raises(FileNotFoundError):
+        stab.stabilize_video(str(tmp_path / "nope.avi"), dst)
+
+
 def test_chunked_equals_whole(clip):
     a = Stabilizer(SMALL, PipelineConfig(batch_windows=4)).stabilize_frames(clip)
     b = Stabilizer(SMALL, PipelineConfig(batch_windows=16)).stabilize_frames(clip)

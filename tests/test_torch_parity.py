@@ -63,6 +63,41 @@ def test_single_stage_parity():
     np.testing.assert_allclose(fflows[0], tflows[0], atol=1e-4)
 
 
+@pytest.mark.parametrize("norm", ["batch", "group", "none"])
+def test_norm_variant_parity(norm):
+    """The torch mirror covers every norm kind the Flax model ships
+    (batch = stats-free BatchNorm2d, group = GroupNorm(8), none), so
+    the golden-parity tier extends beyond the instance default."""
+    cfg = dataclasses.replace(SMALL, norm=norm)
+    fflows, tflows = _run_pair(cfg, seed=2)
+    mse = float(np.mean((fflows[0] - tflows[0]) ** 2))
+    assert mse <= 1e-3, f"warp-map MSE {mse} exceeds baseline contract"
+    np.testing.assert_allclose(fflows[0], tflows[0], atol=2e-4)
+
+
+@pytest.mark.parametrize("norm", ["batch", "group"])
+def test_norm_variant_cascade_roundtrip(norm):
+    """Converter round-trip (torch -> flax -> torch) for the non-default
+    norm kinds on the full 2-stage cascade."""
+    from pwstablenet_tpu.interop import flax_to_torch_state_dict
+
+    cfg = dataclasses.replace(
+        SMALL, norm=norm, num_stages=2, interstage="both"
+    )
+    tmodel = TorchCascadedGenerator(cfg)
+    torch.manual_seed(4)
+    for m in tmodel.modules():
+        if isinstance(m, (torch.nn.Conv2d, torch.nn.ConvTranspose2d)):
+            torch.nn.init.normal_(m.weight, std=0.05)
+            torch.nn.init.normal_(m.bias, std=0.02)
+    params = torch_state_dict_to_flax(tmodel.state_dict(), cfg)
+    exported = flax_to_torch_state_dict(params, cfg)
+    orig = {k: np.asarray(v) for k, v in tmodel.state_dict().items()}
+    assert set(exported) == set(orig)
+    for k in orig:
+        np.testing.assert_array_equal(exported[k], orig[k], err_msg=k)
+
+
 @pytest.mark.parametrize("interstage", ["features", "warped", "both"])
 def test_cascade_parity(interstage):
     cfg = dataclasses.replace(SMALL, num_stages=2, interstage=interstage)

@@ -115,6 +115,62 @@ def test_gan_loss_variants(kind):
     assert np.isfinite(float(metrics["loss_g"]))
 
 
+def test_temporal_loss_compensated_pan_free():
+    """A genuine pan shared by output and GT cancels exactly in the
+    compensated form but is penalized by the raw form; with a static GT
+    the two forms coincide (train/losses.py C13)."""
+    from pwstablenet_tpu.train import losses
+
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((1, 40, 40, 3)).astype(np.float32)
+    panned = np.roll(base, shift=3, axis=2)  # same pan in out and gt
+    out_pair = jnp.asarray(np.stack([base, panned], axis=1))
+    gt_pair = jnp.asarray(np.stack([base, panned], axis=1))
+
+    raw = float(losses.temporal_loss(out_pair))
+    comp = float(losses.temporal_loss_compensated(out_pair, gt_pair))
+    assert raw > 0.1
+    assert comp < 1e-6, comp
+
+    # jitter on top of the pan survives compensation
+    jittered = panned + rng.standard_normal(panned.shape).astype(np.float32) * 0.1
+    out_jit = jnp.asarray(np.stack([base, jittered], axis=1))
+    comp_jit = float(losses.temporal_loss_compensated(out_jit, gt_pair))
+    assert comp_jit > 0.05
+
+    # static GT: compensated == raw
+    static_gt = jnp.asarray(np.stack([base, base], axis=1))
+    np.testing.assert_allclose(
+        float(losses.temporal_loss_compensated(out_pair, static_gt)),
+        float(losses.temporal_loss(out_pair)),
+        rtol=1e-6,
+    )
+
+
+@_pytest.mark.parametrize("mode", ["raw", "compensated"])
+def test_temporal_mode_variants(mode):
+    cfg = dataclasses.replace(TCFG, temporal_mode=mode)
+    state, (gen, disc, feat) = create_train_state(
+        TINY, cfg, jax.random.PRNGKey(2)
+    )
+    step = jax.jit(make_train_step(TINY, cfg, gen, disc, feat))
+    batch = jax.tree_util.tree_map(
+        jnp.asarray, make_train_batch(2, 32, 32, TINY.temporal_window, seed=6)
+    )
+    _, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["temporal"]))
+    assert np.isfinite(float(metrics["loss_g"]))
+
+
+def test_temporal_mode_unknown_raises():
+    cfg = dataclasses.replace(TCFG, temporal_mode="nope")
+    state, (gen, disc, feat) = create_train_state(
+        TINY, cfg, jax.random.PRNGKey(2)
+    )
+    with pytest.raises(ValueError, match="temporal_mode"):
+        make_train_step(TINY, cfg, gen, disc, feat)
+
+
 def test_grad_accumulation_matches_full_batch():
     """grad_accum_steps=2: accumulated micro-batch gradients equal the
     full-batch step (all losses are batch means, so the means of
