@@ -323,6 +323,26 @@ def main() -> int:
         f"b4x2 256x256 uint8): {dts*1e3:.1f} ms/step "
         f"= {8/dts:.1f} samples/s/chip (device)")
 
+    # train-step MFU (VERDICT r1 item 4): analytic XLA cost model flops
+    # of the whole fused D+G module / device time / bf16 peak.  The
+    # Pallas warp kernels' flops are excluded by the cost model (small:
+    # ~4.8 ms of the step is warp, and warps are gather- not
+    # flop-bound), so this slightly UNDERSTATES true utilization.
+    try:
+        tcost = (
+            dp_step.lower(state_box[0], batch).compile().cost_analysis()
+        )
+        tflops = (tcost or {}).get("flops", 0.0)
+        if tflops:
+            tmfu = tflops / mesh.size / dts / V5E_BF16_PEAK_FLOPS
+            results["train_mfu"] = tmfu
+            results["train_gflops_per_step"] = tflops / mesh.size / 1e9
+            log(f"config 4/5 train-step MFU: {100*tmfu:.1f}% of v5e "
+                f"bf16 peak ({tflops/mesh.size/1e9:.0f} GFLOP/step/chip, "
+                "XLA cost model; excludes Pallas warp flops)")
+    except Exception as e:  # noqa: BLE001 — cost model varies by backend
+        log(f"train MFU unavailable: {e}")
+
     # hot-loop wall overhead: async dispatch + uint8 H2D per step.
     # Batches are pre-generated so this isolates loop machinery + link
     # (in real training the loader's prefetch threads hide data-gen).

@@ -35,14 +35,20 @@ from pwstablenet_tpu.train.state import generator_params
 MODE = sys.argv[1] if len(sys.argv) > 1 else "compensated"
 STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
 tag = f"r4rich_{MODE}"
-root = f"/tmp/deepstab_{tag}"
+# dataset is mode-independent: share it between A/B runs (rich
+# generation is ~3 min/pair host-side)
+root = "/tmp/deepstab_r4rich_compensated"
 ckpt_dir = f"/tmp/{tag}_ckpt"
 shutil.rmtree(ckpt_dir, ignore_errors=True)
 
-print(f"writing RICH dataset ({tag})...", flush=True)
-shutil.rmtree(root, ignore_errors=True)
-write_synthetic_deepstab(root, num_pairs=12, frames=80, height=320,
-                         width=448, seed=5, rich=True)
+import os
+if len(glob.glob(os.path.join(root, "unstable", "*.avi"))) == 12:
+    print(f"reusing RICH dataset at {root}", flush=True)
+else:
+    print(f"writing RICH dataset ({tag})...", flush=True)
+    shutil.rmtree(root, ignore_errors=True)
+    write_synthetic_deepstab(root, num_pairs=12, frames=80, height=320,
+                             width=448, seed=5, rich=True)
 
 model_cfg = ModelConfig()  # flagship 256x256, 2 stages, T=7
 train_cfg = TrainConfig(
