@@ -182,6 +182,48 @@ def test_make_data_then_eval(tmp_path, capsys):
     assert report["psnr_db"] > 5.0
 
 
+def test_make_data_rich_and_train_rich_smoke(tmp_path, capsys):
+    """--rich flows through make-data and synthetic training."""
+    root = str(tmp_path / "rich_ds")
+    rc = main([
+        "make-data", "--out", root, "--rich", "--pairs", "1",
+        "--frames", "8", "--height", "48", "--width", "64",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rich"] is True
+    assert os.listdir(os.path.join(root, "unstable"))
+
+    rc = main([
+        "train", "--synthetic", "--rich", "--steps", "1",
+        "--batch-size", "2", "--num-levels", "3", "--base-features", "8",
+        "--temporal-window", "3", "--model-height", "16",
+        "--model-width", "16", "--log-every", "1",
+        "--temporal-mode", "raw",
+        "--checkpoint-every", "5",
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+    ])
+    assert rc == 0
+    lines = [
+        json.loads(l)
+        for l in capsys.readouterr().out.strip().splitlines()
+        if l.startswith("{")
+    ]
+    assert any("loss_g" in l for l in lines)
+
+
+def test_train_eval_flags_must_pair(tmp_path):
+    """DeepStab mode: --eval-every without --eval-clip (or vice versa)
+    errors out instead of silently skipping eval (advisor finding)."""
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main([
+            "train", "--data-root", str(tmp_path / "nope"),
+            "--steps", "1", "--eval-every", "5",
+        ])
+
+
 def test_missing_args_error():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
