@@ -69,6 +69,6 @@ if __name__ == "__main__":
             (8, 256, False), (8, 256, True),
         ]
     else:
-        cases = [(6, 128, True), (8, 256, True)]
+        cases = [(8, 256, False), (8, 256, True)]
     for levels, res, dropout in cases:
         probe(levels, res, dropout)
