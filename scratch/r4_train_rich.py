@@ -34,7 +34,8 @@ from pwstablenet_tpu.train.state import generator_params
 
 MODE = sys.argv[1] if len(sys.argv) > 1 else "compensated"
 STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
-tag = f"r4rich_{MODE}"
+DROPOUT = len(sys.argv) > 3 and sys.argv[3] == "dropout"
+tag = f"r4rich_{MODE}" + ("_drop" if DROPOUT else "")
 # dataset is mode-independent: share it between A/B runs (rich
 # generation is ~3 min/pair host-side)
 root = "/tmp/deepstab_r4rich_compensated"
@@ -50,7 +51,7 @@ else:
     write_synthetic_deepstab(root, num_pairs=12, frames=80, height=320,
                              width=448, seed=5, rich=True)
 
-model_cfg = ModelConfig()  # flagship 256x256, 2 stages, T=7
+model_cfg = ModelConfig(use_dropout=DROPOUT)  # flagship 256x256, 2 stages, T=7
 train_cfg = TrainConfig(
     batch_size=8, num_epochs=1, steps_per_epoch=STEPS, w_feature=1.0,
     temporal_mode=MODE,
