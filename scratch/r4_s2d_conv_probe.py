@@ -74,21 +74,53 @@ def s2d(xx, kk):
     return out[:, : H // 2, : W // 2]
 
 
+def s2d_slices(xx, kk):
+    """Phase split via strided slices (no 6-D transpose): channels
+    ordered (py, px, c) like s2d()."""
+    xp = jnp.pad(xx, ((0, 0), (1, 2), (1, 2), (0, 0)))
+    xp = jnp.pad(xp, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    C = xx.shape[-1]
+    phases = [
+        xp[:, py::2, px::2, :] for py in range(2) for px in range(2)
+    ]
+    xb = jnp.concatenate(phases, axis=-1)
+    kb = jnp.zeros((2, 2, 4 * C, COUT), kk.dtype)
+    for ky in range(4):
+        for kx in range(4):
+            by, py = divmod(ky, 2)
+            bx, px = divmod(kx, 2)
+            c0 = (py * 2 + px) * C
+            kb = kb.at[by, bx, c0 : c0 + C, :].set(kk[ky, kx])
+    out = jax.lax.conv_general_dilated(
+        xb, kb, (1, 1), [(0, 0), (0, 0)], dimension_numbers=DN,
+        preferred_element_type=jnp.float32,
+    )
+    return out[:, : H // 2, : W // 2]
+
+
 ref = direct(x, k)
 got = s2d(x, k)
 print("shapes:", ref.shape, got.shape, flush=True)
 err = float(jnp.max(jnp.abs(ref - got[:, : ref.shape[1], : ref.shape[2]])))
 print(f"parity max abs err: {err:.5f} (bf16 compute)", flush=True)
 
+got2 = s2d_slices(x, k)
+err2 = float(jnp.max(jnp.abs(ref - got2)))
+print(f"parity (slices variant): {err2:.5f}", flush=True)
+
 fd = jax.jit(direct)
 fs = jax.jit(s2d)
+fs2 = jax.jit(s2d_slices)
 dtd = device_time(lambda: fd(x, k), (), iters=10)
 dts = device_time(lambda: fs(x, k), (), iters=10)
+dts2 = device_time(lambda: fs2(x, k), (), iters=10)
 flops = 2 * B * (H // 2) * (W // 2) * COUT * 16 * CIN
 print(f"direct 4x4/s2: {dtd*1e3:.3f} ms ({flops/dtd/1e12:.1f} TF/s)",
       flush=True)
 print(f"s2d 2x2/s1:    {dts*1e3:.3f} ms ({flops/dts/1e12:.1f} TF/s)  "
       f"speedup {dtd/dts:.2f}x", flush=True)
+print(f"s2d slices:    {dts2*1e3:.3f} ms ({flops/dts2/1e12:.1f} TF/s)  "
+      f"speedup {dtd/dts2:.2f}x", flush=True)
 
 # also the second conv (cin=64 already lane-friendly, for reference)
 x2 = jnp.asarray(rng.standard_normal((B, 128, 128, 64)), jnp.bfloat16)
