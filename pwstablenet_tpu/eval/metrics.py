@@ -36,8 +36,18 @@ def _to_gray_u8(frame: np.ndarray) -> np.ndarray:
     return cv2.cvtColor(u8, cv2.COLOR_RGB2GRAY)
 
 
-def _track_affine(a: np.ndarray, b: np.ndarray) -> Optional[np.ndarray]:
-    """Estimate a 2x3 affine transform from frame a to frame b."""
+def _track_affine(
+    a: np.ndarray, b: np.ndarray, full: bool = False
+) -> Optional[np.ndarray]:
+    """Estimate a 2x3 affine transform from frame a to frame b.
+
+    ``full=False`` fits a similarity (4-DOF — the right model for the
+    camera-path trajectories behind the stability score);
+    ``full=True`` fits the full 6-DOF affine — required by the
+    distortion metric, whose whole point is the ANISOTROPY of the
+    original->stabilized mapping (a similarity fit is isotropic by
+    construction and would report distortion == 1 always).
+    """
     import cv2
 
     ga, gb = _to_gray_u8(a), _to_gray_u8(b)
@@ -50,7 +60,10 @@ def _track_affine(a: np.ndarray, b: np.ndarray) -> Optional[np.ndarray]:
     ok = status.ravel() == 1
     if ok.sum() < 8:
         return None
-    m, _ = cv2.estimateAffinePartial2D(pts[ok], nxt[ok])
+    if full:
+        m, _ = cv2.estimateAffine2D(pts[ok], nxt[ok])
+    else:
+        m, _ = cv2.estimateAffinePartial2D(pts[ok], nxt[ok])
     return m
 
 
@@ -90,7 +103,7 @@ def cropping_ratio_and_distortion(
     and worst anisotropy (distortion)."""
     scales, anisos = [], []
     for o, s in zip(original, stabilized):
-        m = _track_affine(o, s)
+        m = _track_affine(o, s, full=True)
         if m is None:
             continue
         a = m[:2, :2]

@@ -94,6 +94,64 @@ def test_stability_report_keys():
     assert 0 < rep["distortion_value"] <= 1.001
 
 
+def test_interframe_transform_recovers_known_shift():
+    """C21 metric internals: KLT + affine estimation recovers a known
+    integer translation between frames of a textured clip."""
+    from pwstablenet_tpu.data.synthetic import synthetic_pair_clip
+    from pwstablenet_tpu.eval.metrics import interframe_transforms
+
+    stable, _ = synthetic_pair_clip(2, 96, 128, seed=5, pan_px=0.0)
+    a = stable[0]
+    b = np.roll(a, shift=(3, 5), axis=(0, 1))  # +3 rows, +5 cols
+    ms = interframe_transforms(np.stack([a, b]))
+    assert len(ms) == 1
+    # feature at (x, y) in a appears at (x+5, y+3) in b
+    np.testing.assert_allclose(ms[0][0, 2], 5.0, atol=0.5)
+    np.testing.assert_allclose(ms[0][1, 2], 3.0, atol=0.5)
+    # pure translation: rotation part ~ identity
+    np.testing.assert_allclose(ms[0][:2, :2], np.eye(2), atol=0.02)
+
+
+def test_cropping_and_distortion_detect_known_warps():
+    """cropping_ratio drops under a known zoom-in; distortion_value
+    drops under a known anisotropic stretch."""
+    import cv2
+
+    from pwstablenet_tpu.data.synthetic import synthetic_pair_clip
+    from pwstablenet_tpu.eval.metrics import cropping_ratio_and_distortion
+
+    stable, _ = synthetic_pair_clip(3, 96, 128, seed=6, pan_px=0.0)
+    h, w = stable.shape[1:3]
+
+    def apply(mat):
+        return np.stack([
+            cv2.warpAffine(f, mat, (w, h), flags=cv2.INTER_LINEAR,
+                           borderMode=cv2.BORDER_REFLECT)
+            for f in stable
+        ])
+
+    # identity
+    rep0 = cropping_ratio_and_distortion(stable, stable)
+    assert abs(rep0["cropping_ratio"] - 1.0) < 0.02
+    assert rep0["distortion_value"] > 0.98
+
+    # zoom-in by 1.2x (content cropped): original->stabilized scale 1.2,
+    # so cropping_ratio rises above 1/that... the metric reports the
+    # mean homography scale original->stabilized
+    zoom = cv2.getRotationMatrix2D((w / 2, h / 2), 0.0, 1.2)
+    rep_z = cropping_ratio_and_distortion(stable, apply(zoom))
+    np.testing.assert_allclose(rep_z["cropping_ratio"], 1.2, atol=0.05)
+    assert rep_z["distortion_value"] > 0.95  # isotropic
+
+    # anisotropic stretch: x scaled 1.3, y unchanged
+    stretch = np.array([[1.3, 0.0, -0.15 * w], [0.0, 1.0, 0.0]],
+                       np.float32)
+    rep_s = cropping_ratio_and_distortion(stable, apply(stretch))
+    np.testing.assert_allclose(
+        rep_s["distortion_value"], 1 / 1.3, atol=0.05
+    )
+
+
 def test_warp_field_writer_roundtrip(tmp_path):
     """Streaming warp-field archive: chunked writes, one concatenated
     load; legacy single-key archives still load."""
