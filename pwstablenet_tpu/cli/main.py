@@ -29,6 +29,10 @@ def _step_or_best(value: str):
 
 def _add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--temporal-window", type=int, default=None)
+    p.add_argument("--temporal-center", type=int, default=None,
+                   help="current-frame position in the stack (default: "
+                        "centered; temporal_window-1 = causal "
+                        "zero-lookahead live mode)")
     p.add_argument("--num-stages", type=int, default=None)
     p.add_argument("--num-levels", type=int, default=None)
     p.add_argument("--base-features", type=int, default=None)
@@ -47,8 +51,8 @@ def _model_cfg(args):
     cfg = ModelConfig()
     over = {}
     for field in (
-        "temporal_window", "num_stages", "num_levels", "base_features",
-        "max_features", "norm", "interstage",
+        "temporal_window", "temporal_center", "num_stages", "num_levels",
+        "base_features", "max_features", "norm", "interstage",
     ):
         v = getattr(args, field, None)
         if v is not None:
@@ -192,7 +196,10 @@ def cmd_train(args) -> int:
             resize_scale_range=tuple(args.resize_scale),
             num_decode_threads=args.decode_threads,
         )
-        ds = DeepStabDataset(data_cfg, model_cfg.temporal_window)
+        ds = DeepStabDataset(
+            data_cfg, model_cfg.temporal_window,
+            temporal_center=model_cfg.temporal_center,
+        )
         batches = batch_iterator(ds, train_cfg.batch_size, seed=args.seed)
         if args.eval_every > 0 and args.eval_clip:
             from pwstablenet_tpu.data.video_io import read_video

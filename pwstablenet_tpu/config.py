@@ -25,6 +25,14 @@ class ModelConfig:
     # --- temporal context ---
     temporal_window: int = 7          # frames per stack (center + neighbors)
     in_channels: int = 3              # per-frame channels (RGB)
+    # Position of the CURRENT frame inside the stack. None = centered
+    # (temporal_window // 2, the reference's symmetric context).
+    # temporal_window - 1 = fully CAUSAL: all context is past frames,
+    # so streaming inference needs no future lookahead — the
+    # zero-latency live mode (pipeline pads no tail halo; the
+    # causality property is test-enforced).  Intermediate values trade
+    # lookahead latency for future context.
+    temporal_center: "int | None" = None
 
     # --- stage UNet (pix2pix-style, SURVEY.md C5) ---
     num_levels: int = 8               # stride-2 down/up levels; 256x256 -> 1x1
@@ -72,6 +80,13 @@ class ModelConfig:
                 f"{self.temporal_window} (center frame + symmetric "
                 "neighbors)"
             )
+        if self.temporal_center is not None and not (
+            0 <= self.temporal_center < self.temporal_window
+        ):
+            raise ValueError(
+                f"temporal_center must be in [0, {self.temporal_window}) "
+                f"or None, got {self.temporal_center}"
+            )
         h, w = self.model_resolution
         if h % (2**self.num_levels) or w % (2**self.num_levels):
             raise ValueError(
@@ -82,6 +97,18 @@ class ModelConfig:
     @property
     def stack_channels(self) -> int:
         return self.temporal_window * self.in_channels
+
+    @property
+    def center_index(self) -> int:
+        """Index of the current frame in the temporal stack."""
+        if self.temporal_center is None:
+            return self.temporal_window // 2
+        return self.temporal_center
+
+    @property
+    def future_frames(self) -> int:
+        """Lookahead frames needed per output frame (0 = causal)."""
+        return self.temporal_window - 1 - self.center_index
 
 
 @dataclasses.dataclass(frozen=True)

@@ -67,11 +67,26 @@ class _VideoCache:
 
 
 class DeepStabDataset:
-    """Pairs index + sampler."""
+    """Pairs index + sampler.
 
-    def __init__(self, cfg: DataConfig, temporal_window: int):
+    ``temporal_center``: position of the current frame inside the
+    stack (None = centered; ``temporal_window - 1`` = causal mode —
+    match ``ModelConfig.temporal_center``).
+    """
+
+    def __init__(self, cfg: DataConfig, temporal_window: int,
+                 temporal_center: Optional[int] = None):
         self.cfg = cfg
         self.window = temporal_window
+        self.center = (
+            temporal_window // 2 if temporal_center is None
+            else temporal_center
+        )
+        if not 0 <= self.center < temporal_window:
+            raise ValueError(
+                f"temporal_center must be in [0, {temporal_window}), "
+                f"got {self.center}"
+            )
         unstable_root = os.path.join(cfg.data_root, cfg.unstable_dir)
         stable_root = os.path.join(cfg.data_root, cfg.stable_dir)
         if not os.path.isdir(unstable_root):
@@ -106,13 +121,14 @@ class DeepStabDataset:
         """One training sample (un-batched): stacks (2, H, W, T*3),
         stable (2, H, W, 3)."""
         cfg = self.cfg
-        half = self.window // 2
+        past = self.center
+        future = self.window - 1 - self.center
         stride = cfg.frame_stride
         u_path, s_path = self.pairs[int(rng.integers(len(self.pairs)))]
         u, s = self._cache(u_path), self._cache(s_path)
         n = min(u.num_frames, s.num_frames)
-        lo_need = half * stride
-        hi_need = (half + 1) * stride + 1
+        lo_need = past * stride
+        hi_need = (future + 1) * stride + 1
         if n <= lo_need + hi_need:
             # otherwise the clamped draw below can emit a t whose window
             # reads past the end, surfacing as a raw frame-read IOError
@@ -126,7 +142,8 @@ class DeepStabDataset:
 
         # decode the union of frames needed for both time steps
         span = [
-            t + k + j * stride for k in range(2) for j in range(-half, half + 1)
+            t + k + j * stride
+            for k in range(2) for j in range(-past, future + 1)
         ]
         lo, hi = min(span), max(span) + 1
         u_frames = {i: f for i, f in zip(range(lo, hi), u.read_range(lo, hi))}
@@ -164,7 +181,7 @@ class DeepStabDataset:
         for k in range(2):
             window = [
                 prep(u_frames[t + k + j * stride])
-                for j in range(-half, half + 1)
+                for j in range(-past, future + 1)
             ]
             stacks[k] = np.concatenate(window, axis=-1)
         stable[0] = prep(s_t)

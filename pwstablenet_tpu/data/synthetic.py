@@ -285,6 +285,7 @@ def make_train_batch(
     seed: int = 0,
     dtype=np.uint8,
     rich: bool = False,
+    temporal_center=None,
     **clip_kwargs,
 ) -> dict:
     """Synthetic batch in the train-step format: two consecutive time
@@ -294,18 +295,22 @@ def make_train_batch(
     train step normalizes on device); pass ``dtype=np.float32`` for
     host-side floats in [-1, 1].  ``rich=True`` enables the full scene
     model (``RICH``); extra kwargs pass through to
-    ``synthetic_pair_clip``.
+    ``synthetic_pair_clip``.  ``temporal_center``: current-frame
+    position in the stack (None = centered; T-1 = causal).
     """
     if rich:
         clip_kwargs = {**RICH, **clip_kwargs}
     rng = np.random.default_rng(seed)
-    half = temporal_window // 2
+    past = (
+        temporal_window // 2 if temporal_center is None else temporal_center
+    )
+    future = temporal_window - 1 - past
     stacks = np.zeros(
         (batch_size, 2, height, width, temporal_window * 3), np.float32
     )
     stable = np.zeros((batch_size, 2, height, width, 3), np.float32)
     for b in range(batch_size):
-        t0 = half + 1
+        t0 = past + 1
         frames = temporal_window + 2
         s, u = synthetic_pair_clip(
             frames, height, width, seed=int(rng.integers(1 << 31)),
@@ -313,7 +318,7 @@ def make_train_batch(
         )
         for k in range(2):  # two consecutive centers: t0, t0+1
             t = t0 + k
-            window = u[t - half : t + half + 1]
+            window = u[t - past : t + future + 1]
             stacks[b, k] = window.transpose(1, 2, 0, 3).reshape(
                 height, width, temporal_window * 3
             )

@@ -189,7 +189,7 @@ class TorchCascadedGenerator(nn.Module):
 
     def center_frame(self, stack):
         cfg = self.cfg
-        c0 = (cfg.temporal_window // 2) * cfg.in_channels
+        c0 = cfg.center_index * cfg.in_channels
         return stack[:, c0 : c0 + cfg.in_channels]
 
     def forward(self, stack):

@@ -32,9 +32,11 @@ class CascadedGenerator(nn.Module):
     cfg: ModelConfig
 
     def center_frame(self, stack: jnp.ndarray) -> jnp.ndarray:
-        """Extract the center (current) frame from the temporal stack."""
+        """Extract the current frame from the temporal stack (at
+        ``cfg.center_index`` — symmetric by default, last for the
+        causal low-latency mode)."""
         cfg = self.cfg
-        c0 = (cfg.temporal_window // 2) * cfg.in_channels
+        c0 = cfg.center_index * cfg.in_channels
         return stack[..., c0 : c0 + cfg.in_channels]
 
     @nn.compact

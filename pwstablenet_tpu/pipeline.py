@@ -118,7 +118,7 @@ class Stabilizer:
             # warp the RAW center frames: for uint8 input, warp_image
             # takes the packed fast path and returns uint8 directly (no
             # f32 frame materialization, no requantize pass)
-            centers = frames[T // 2 : T // 2 + n]
+            centers = frames[cfg.center_index : cfg.center_index + n]
             with jax.named_scope("fused_warp"):
                 stabilized = warp_image(
                     centers,
@@ -261,7 +261,11 @@ class Stabilizer:
 
         Maintains a halo of ``temporal_window - 1`` frames between
         chunks so every output frame sees its full temporal context;
-        the clip edges are replicate-padded.
+        the clip edges are replicate-padded: ``center_index`` lead
+        frames (past context) and ``future_frames`` tail frames
+        (lookahead).  In the causal mode (``temporal_center == T-1``)
+        the tail pad is ZERO — frame t's output never waits for (or
+        depends on) frames after t, the live-streaming property.
 
         Device dispatch is ASYNC with a bounded in-flight queue: chunk
         i+k is dispatched while chunk i's results transfer back, so
@@ -270,7 +274,8 @@ class Stabilizer:
         """
         cfg = self.model_cfg
         T = cfg.temporal_window
-        half = T // 2
+        lead_pad = cfg.center_index
+        tail_pad = cfg.future_frames
         n = batch_windows or self.pipeline_cfg.batch_windows
         depth = max(self.pipeline_cfg.prefetch_depth, 1) + 1
 
@@ -289,7 +294,7 @@ class Stabilizer:
         first = True
         for chunk in chunks:
             if first:
-                lead = np.repeat(chunk[:1], half, axis=0)
+                lead = np.repeat(chunk[:1], lead_pad, axis=0)
                 chunk = np.concatenate([lead, chunk])
                 first = False
             if carry is not None:
@@ -302,7 +307,7 @@ class Stabilizer:
             carry = chunk
         if carry is not None:
             # flush: replicate-pad the end, then emit remaining windows
-            tail = np.repeat(carry[-1:], half, axis=0)
+            tail = np.repeat(carry[-1:], tail_pad, axis=0)
             buf = np.concatenate([carry, tail])
             while buf.shape[0] >= T:
                 m = buf.shape[0] - (T - 1)  # windows remaining

@@ -220,7 +220,9 @@ def synthetic_batch_iterator(
         while True:
             yield make_train_batch(
                 train_cfg.batch_size, h, w, model_cfg.temporal_window,
-                seed=i, rich=rich, **clip_kwargs,
+                seed=i, rich=rich,
+                temporal_center=model_cfg.temporal_center,
+                **clip_kwargs,
             )
             i += 1
 

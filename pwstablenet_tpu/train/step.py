@@ -37,7 +37,7 @@ def _fold(x: Array) -> Array:
 
 
 def _center(stack: Array, cfg: ModelConfig) -> Array:
-    c0 = (cfg.temporal_window // 2) * cfg.in_channels
+    c0 = cfg.center_index * cfg.in_channels
     return stack[..., c0 : c0 + cfg.in_channels]
 
 
