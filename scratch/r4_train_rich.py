@@ -34,8 +34,10 @@ from pwstablenet_tpu.train.state import generator_params
 
 MODE = sys.argv[1] if len(sys.argv) > 1 else "compensated"
 STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
-DROPOUT = len(sys.argv) > 3 and sys.argv[3] == "dropout"
-tag = f"r4rich_{MODE}" + ("_drop" if DROPOUT else "")
+DROPOUT = "dropout" in sys.argv[3:]
+CAUSAL = "causal" in sys.argv[3:]
+tag = (f"r4rich_{MODE}" + ("_drop" if DROPOUT else "")
+       + ("_causal" if CAUSAL else ""))
 # dataset is mode-independent: share it between A/B runs (rich
 # generation is ~3 min/pair host-side)
 root = "/tmp/deepstab_r4rich_compensated"
@@ -51,7 +53,10 @@ else:
     write_synthetic_deepstab(root, num_pairs=12, frames=80, height=320,
                              width=448, seed=5, rich=True)
 
-model_cfg = ModelConfig(use_dropout=DROPOUT)  # flagship 256x256, 2 stages, T=7
+model_cfg = ModelConfig(
+    use_dropout=DROPOUT,
+    temporal_center=6 if CAUSAL else None,  # T=7: current frame last
+)  # flagship 256x256, 2 stages, T=7
 train_cfg = TrainConfig(
     batch_size=8, num_epochs=1, steps_per_epoch=STEPS, w_feature=1.0,
     temporal_mode=MODE,
@@ -61,7 +66,8 @@ train_cfg = TrainConfig(
 )
 data_cfg = DataConfig(data_root=root, crop_size=(256, 256),
                       num_decode_threads=4)
-ds = DeepStabDataset(data_cfg, model_cfg.temporal_window)
+ds = DeepStabDataset(data_cfg, model_cfg.temporal_window,
+                     temporal_center=model_cfg.temporal_center)
 it = batch_iterator(ds, train_cfg.batch_size, seed=0)
 
 # held-out eval clip from the SAME rich distribution
