@@ -36,8 +36,13 @@ MODE = sys.argv[1] if len(sys.argv) > 1 else "compensated"
 STEPS = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
 DROPOUT = "dropout" in sys.argv[3:]
 CAUSAL = "causal" in sys.argv[3:]
+SEED = 0
+for a in sys.argv[3:]:
+    if a.startswith("seed="):
+        SEED = int(a.split("=")[1])
 tag = (f"r4rich_{MODE}" + ("_drop" if DROPOUT else "")
-       + ("_causal" if CAUSAL else ""))
+       + ("_causal" if CAUSAL else "")
+       + (f"_s{SEED}" if SEED else ""))
 # dataset is mode-independent: share it between A/B runs (rich
 # generation is ~3 min/pair host-side)
 root = "/tmp/deepstab_r4rich_compensated"
@@ -59,7 +64,7 @@ model_cfg = ModelConfig(
 )  # flagship 256x256, 2 stages, T=7
 train_cfg = TrainConfig(
     batch_size=8, num_epochs=1, steps_per_epoch=STEPS, w_feature=1.0,
-    temporal_mode=MODE,
+    temporal_mode=MODE, seed=SEED,
     log_every=50, checkpoint_every=500,
     checkpoint_dir=ckpt_dir,
     ema_decay=0.995, eval_every=250,
@@ -68,7 +73,7 @@ data_cfg = DataConfig(data_root=root, crop_size=(256, 256),
                       num_decode_threads=4)
 ds = DeepStabDataset(data_cfg, model_cfg.temporal_window,
                      temporal_center=model_cfg.temporal_center)
-it = batch_iterator(ds, train_cfg.batch_size, seed=0)
+it = batch_iterator(ds, train_cfg.batch_size, seed=SEED)
 
 # held-out eval clip from the SAME rich distribution
 stable, unstable = synthetic_pair_clip(
