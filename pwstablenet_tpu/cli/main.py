@@ -180,11 +180,16 @@ def cmd_train(args) -> int:
     else:
         if (args.eval_every > 0) != bool(args.eval_clip):
             # one without the other silently yields no periodic eval —
-            # fail loudly instead (advisor finding, round 1)
-            build_parser().error(
-                "DeepStab mode needs BOTH --eval-every and --eval-clip "
-                "for periodic eval (got only one)"
+            # fail loudly instead (advisor finding, round 1).  Raised
+            # directly (not via a fresh parser's .error, whose usage
+            # text would be the root parser's — advisor, round 2).
+            print(
+                "pwstablenet train: error: DeepStab mode needs BOTH "
+                "--eval-every and --eval-clip for periodic eval "
+                "(got only one)",
+                file=sys.stderr,
             )
+            raise SystemExit(2)
         from pwstablenet_tpu.data.deepstab import (
             DeepStabDataset,
             batch_iterator,

@@ -66,6 +66,19 @@ class _VideoCache:
             return self.read(t)
 
 
+def _probe_frame_count(path: str) -> int:
+    """Frame count from the container header (no frame decode)."""
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    try:
+        if not cap.isOpened():
+            raise FileNotFoundError(path)
+        return int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+    finally:
+        cap.release()
+
+
 class DeepStabDataset:
     """Pairs index + sampler.
 
@@ -101,15 +114,50 @@ class DeepStabDataset:
             raise FileNotFoundError(
                 f"no stable/unstable pairs under {cfg.data_root}"
             )
-        self.pairs: List[Tuple[str, str]] = [
+        all_pairs: List[Tuple[str, str]] = [
             (
                 os.path.join(unstable_root, n),
                 os.path.join(stable_root, n),
             )
             for n in names
         ]
+        # validate frame counts up front (header reads only) so a
+        # too-short pair fails/skips loudly at construction, not at a
+        # random training step when it is first drawn (advisor finding,
+        # round 2).  Pairs shorter than the temporal window are SKIPPED
+        # with a warning; an empty remainder raises.
+        min_frames = self._min_frames_needed()
+        self.pairs = []
+        for u_path, s_path in all_pairs:
+            n = min(_probe_frame_count(u_path), _probe_frame_count(s_path))
+            if n < min_frames:
+                import sys
+
+                print(
+                    f"pwstablenet: skipping video pair "
+                    f"{os.path.basename(u_path)!r}: only {n} frames; "
+                    f"temporal_window={self.window} with frame_stride="
+                    f"{cfg.frame_stride} needs at least {min_frames}",
+                    file=sys.stderr,
+                )
+                continue
+            self.pairs.append((u_path, s_path))
+        if not self.pairs:
+            raise ValueError(
+                f"all {len(all_pairs)} video pairs under {cfg.data_root} "
+                f"are shorter than the {min_frames} frames needed by "
+                f"temporal_window={self.window} / frame_stride="
+                f"{cfg.frame_stride}"
+            )
         self._caches: Dict[str, _VideoCache] = {}
         self._lock = threading.Lock()
+
+    def _min_frames_needed(self) -> int:
+        """Minimum pair length so ``sample`` has a valid center draw."""
+        stride = self.cfg.frame_stride
+        past = self.center
+        future = self.window - 1 - self.center
+        return past * stride + (future + 1) * stride + 2
 
     def _cache(self, path: str) -> _VideoCache:
         with self._lock:
@@ -130,8 +178,8 @@ class DeepStabDataset:
         lo_need = past * stride
         hi_need = (future + 1) * stride + 1
         if n <= lo_need + hi_need:
-            # otherwise the clamped draw below can emit a t whose window
-            # reads past the end, surfacing as a raw frame-read IOError
+            # defensive re-check (pairs are validated/filtered at
+            # construction; a truncated re-open could still land here)
             raise ValueError(
                 f"video pair {os.path.basename(u_path)!r} has only {n} "
                 f"frames; temporal_window={self.window} with "

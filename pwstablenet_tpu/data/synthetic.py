@@ -21,7 +21,13 @@ quality numbers demonstrate the capability, not a toy:
   cameras plus per-frame exposure flicker and sensor noise on the
   unstable view (dual-camera rigs are never photometrically identical);
 - **textureless regions**: smooth blobs of the base texture flattened
-  to near-constant, where the warp is unconstrained by data.
+  to near-constant, where the warp is unconstrained by data;
+- **motion blur** (round 3): the unstable view is blurred along its
+  instantaneous apparent motion (shutter-open streaking during fast
+  shake — feature tracking degrades exactly when stabilization matters
+  most);
+- **exposure steps** (round 3): sudden persistent exposure jumps on the
+  unstable view (auto-exposure hunting), on top of the smooth flicker.
 
 All knobs default OFF (the original flat-world generator); the
 ``RICH`` preset enables all of them at measured-reasonable strengths.
@@ -41,6 +47,8 @@ RICH: Dict[str, float] = dict(
     num_occluders=1,
     photometric=0.5,       # +-5% static gain, +-5% flicker, sigma~0.01 noise
     textureless_frac=0.15, # ~15% of the base plane near-constant
+    motion_blur=0.6,       # ~60% shutter fraction of the frame motion
+    exposure_steps=0.5,    # occasional +-12% persistent exposure jumps
 )
 
 
@@ -96,7 +104,8 @@ class _Occluder:
     """Independently moving textured ellipse at near depth."""
 
     def __init__(self, rng: np.random.Generator, h: int, w: int,
-                 num_frames: int):
+                 num_frames: int,
+                 pan_y: np.ndarray = None, pan_x: np.ndarray = None):
         self.ry = float(rng.uniform(0.08, 0.16)) * h
         self.rx = float(rng.uniform(0.08, 0.16)) * w
         th = int(2 * self.ry) + 8
@@ -112,12 +121,29 @@ class _Occluder:
         amp_y = rng.uniform(0.1, 0.25) * h
         amp_x = rng.uniform(0.1, 0.25) * w
         drift = rng.uniform(-0.6, 0.6, 2)
-        self.path_y = (
-            cy0 + amp_y * np.sin(2 * np.pi * f1 * t + ph[0]) + drift[0] * t
+        def reflect(path: np.ndarray, span: float) -> np.ndarray:
+            # bounce the trajectory off the frame edges so the occluder
+            # keeps occluding arbitrarily long clips (its own drift
+            # would otherwise exit the frame)
+            p = np.mod(path, 2.0 * span)
+            return np.where(p > span, 2.0 * span - p, p)
+
+        self.path_y = reflect(
+            cy0 + amp_y * np.sin(2 * np.pi * f1 * t + ph[0]) + drift[0] * t,
+            float(h),
         ).astype(np.float32)
-        self.path_x = (
-            cx0 + amp_x * np.sin(2 * np.pi * f2 * t + ph[1]) + drift[1] * t
+        self.path_x = reflect(
+            cx0 + amp_x * np.sin(2 * np.pi * f2 * t + ph[1]) + drift[1] * t,
+            float(w),
         ).astype(np.float32)
+        # anchor the trajectory to the PANNING camera (pan offset folded
+        # into the world path) so cumulative pan doesn't drift occluders
+        # off-frame late in long clips; only shake/parallax moves them
+        # across the two views (advisor finding, round 2)
+        if pan_y is not None:
+            self.path_y = self.path_y + pan_y * self.depth
+        if pan_x is not None:
+            self.path_x = self.path_x + pan_x * self.depth
 
     def composite(self, frame: np.ndarray, vy: np.ndarray, vx: np.ndarray,
                   t: int, cam_oy: float, cam_ox: float) -> np.ndarray:
@@ -164,6 +190,8 @@ def synthetic_pair_clip(
     num_occluders: int = 0,
     photometric: float = 0.0,
     textureless_frac: float = 0.0,
+    motion_blur: float = 0.0,
+    exposure_steps: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (stable, unstable) clips, each (T, H, W, 3) in [-1, 1].
 
@@ -174,6 +202,10 @@ def synthetic_pair_clip(
 
     ``perspective`` is calibrated in pixels of extra displacement at the
     frame edge.  ``photometric`` in [0, 1] scales gain/flicker/noise.
+    ``motion_blur`` in [0, 1] is the shutter fraction: the unstable view
+    is streaked along that fraction of its inter-frame apparent motion.
+    ``exposure_steps`` in [0, 1] scales sudden persistent exposure jumps
+    on the unstable view (auto-exposure hunting; ~6% of frames jump).
     """
     rng = np.random.default_rng(seed)
     margin = int(shake_px * 4 + pan_px * num_frames + 8)
@@ -193,8 +225,15 @@ def synthetic_pair_clip(
         depth = 1.0 + 0.2 * (k + 1)  # closer => moves more with the camera
         layers.append((tex, alpha.astype(np.float32), depth))
 
+    # camera pan path, precomputed so occluders can anchor to it
+    t_arr = np.arange(num_frames, dtype=np.float32)
+    pan_x_arr = pan_px * t_arr
+    pan_y_arr = 0.3 * pan_px * t_arr
+
     occluders = [
-        _Occluder(rng, height, width, num_frames) for _ in range(num_occluders)
+        _Occluder(rng, height, width, num_frames,
+                  pan_y=pan_y_arr, pan_x=pan_x_arr)
+        for _ in range(num_occluders)
     ]
 
     gy, gx = np.meshgrid(
@@ -233,23 +272,32 @@ def synthetic_pair_clip(
     noise_sigma = 0.02 * photometric
 
     def photometric_jitter(img: np.ndarray, gain: float) -> np.ndarray:
-        if photometric <= 0:
+        # applies whenever the photometric model OR an exposure-step
+        # gain is active; the noise draw stays gated on `photometric`
+        # so knob-off rng streams are untouched
+        if photometric <= 0 and abs(gain - 1.0) < 1e-12:
             return img
         lin = (img + 1.0) * 0.5
         lin = lin * cam_gain[None, None, :] * gain
-        lin = lin + rng.standard_normal(img.shape).astype(np.float32) * noise_sigma
+        if noise_sigma > 0:
+            lin = lin + (
+                rng.standard_normal(img.shape).astype(np.float32)
+                * noise_sigma
+            )
         return np.clip(lin * 2.0 - 1.0, -1.0, 1.0).astype(np.float32)
 
     stable_frames, unstable_frames = [], []
     jitter = np.zeros(2, np.float32)
     persp = np.zeros(2, np.float32)  # homography perspective row (p_y, p_x)
+    exp_gain = 1.0  # piecewise-constant exposure level (step events)
+    prev_off = np.zeros(2, np.float32)  # last unstable camera offset
     # calibrate: coords at frame edge ~(H/2, W/2); displacement there is
     # roughly |p| * (H/2)^2 for the pure-perspective term, so draw p with
     # std such that edge displacement ~= `perspective` px.
     p_scale = perspective / max((max(height, width) / 2) ** 2, 1.0)
     for t in range(num_frames):
-        ox = pan_px * t
-        oy = 0.3 * pan_px * t
+        ox = float(pan_x_arr[t])
+        oy = float(pan_y_arr[t])
         stable_frames.append(render(gy, gx, oy, ox, t))
 
         # random-walk shake, mean-reverting: translation + rotation + persp.
@@ -265,9 +313,36 @@ def synthetic_pair_clip(
         ry = ry + cy
         rx = rx + cx
         frame = render(ry, rx, oy + jitter[0], ox + jitter[1], t)
+
+        # motion blur: streak along the instantaneous apparent motion
+        # (inter-frame camera-offset delta), shutter open for
+        # `motion_blur` of the frame interval.  Post-render directional
+        # average — no rng, so knob-off streams are untouched.
+        off = np.array([oy + jitter[0], ox + jitter[1]], np.float32)
+        if motion_blur > 0 and t > 0:
+            vy_px = float(off[0] - prev_off[0])
+            vx_px = float(off[1] - prev_off[1])
+            if vy_px * vy_px + vx_px * vx_px > 0.25:  # >0.5 px of motion
+                taps = 5
+                acc = np.zeros_like(frame)
+                for a in np.linspace(-0.5, 0.5, taps):
+                    acc += _sample_bilinear(
+                        frame,
+                        gy + a * motion_blur * vy_px,
+                        gx + a * motion_blur * vx_px,
+                    )
+                frame = (acc / taps).astype(np.float32)
+        prev_off = off
+
         if photometric > 0:
             flicker = 0.6 * flicker + rng.standard_normal() * 0.05 * photometric
-        unstable_frames.append(photometric_jitter(frame, 1.0 + flicker))
+        if exposure_steps > 0 and rng.uniform() < 0.06:
+            # auto-exposure hunting: a persistent jump (held until the
+            # next event), distinct from the mean-reverting flicker
+            exp_gain = 1.0 + float(rng.uniform(-0.25, 0.25)) * exposure_steps
+        unstable_frames.append(
+            photometric_jitter(frame, (1.0 + flicker) * exp_gain)
+        )
     return np.stack(stable_frames), np.stack(unstable_frames)
 
 

@@ -58,6 +58,16 @@ def make_clip_eval_hook(
             )
         return metrics
 
+    # identifies the eval configuration so best-step tracking doesn't
+    # compare scores across incomparable setups on resume (the train
+    # loop stores this in best_step.json — advisor finding, round 2)
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(np.ascontiguousarray(unstable_clip).tobytes())
+    h.update(repr(model_cfg).encode())
+    h.update(b"gt" if stable_clip is not None else b"nogt")
+    eval_fn.fingerprint = h.hexdigest()[:16]
     return eval_fn
 
 

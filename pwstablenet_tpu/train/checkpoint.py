@@ -133,9 +133,32 @@ def restore_state(
 
 
 def _checkpoint_has_ema(mgr: ocp.CheckpointManager, step: int) -> bool:
-    """Whether the saved pytree carries a non-empty g_ema subtree."""
+    """Whether the saved pytree carries a non-empty g_ema subtree.
+
+    Probed from the saved tree-structure metadata (``_METADATA`` JSON
+    written by StandardSave) — restoring the whole checkpoint just to
+    peek at one key would double restore cost/peak memory (advisor
+    finding, round 2).  Falls back to a full structure-free restore if
+    the metadata file is missing or unparseable.
+    """
+    meta_path = os.path.join(
+        str(mgr.directory), str(step), "default", "_METADATA"
+    )
     try:
-        raw = mgr.restore(step)  # structure-free restore
+        with open(meta_path) as f:
+            tree_meta = json.load(f)["tree_metadata"]
+        for entry in tree_meta.values():
+            keys = [k["key"] for k in entry["key_metadata"]]
+            if keys and keys[0] == "g_ema":
+                # a bare ('g_ema',) None/empty leaf means no EMA tracked
+                return entry["value_metadata"]["value_type"] not in (
+                    "None", "Dict", "dict",
+                ) or len(keys) > 1
+        return False
+    except Exception:
+        pass
+    try:
+        raw = mgr.restore(step)  # structure-free restore (fallback)
         ema = raw.get("g_ema") if isinstance(raw, dict) else None
         return bool(ema)
     except Exception:
@@ -164,11 +187,16 @@ def load_params(path: str, template=None):
 
 
 def save_best(
-    directory: str, state: TrainState, step: int, metric: str, value: float
+    directory: str, state: TrainState, step: int, metric: str, value: float,
+    fingerprint: Optional[str] = None,
 ) -> None:
     """Record a new best eval score: export the inference weights (EMA
     when tracked) to ``<directory>/best`` and write ``best_step.json``.
-    Called by the train loop; survives checkpoint pruning."""
+    Called by the train loop; survives checkpoint pruning.
+
+    ``fingerprint`` identifies the eval configuration (clip + model) so
+    a resume with a DIFFERENT eval setup doesn't compare scores across
+    incomparable configurations (advisor finding, round 2)."""
     from pwstablenet_tpu.train.state import generator_params
 
     os.makedirs(directory, exist_ok=True)
@@ -176,9 +204,11 @@ def save_best(
         os.path.join(directory, BEST_DIR),
         jax.device_get(generator_params(state)),
     )
+    record = {"step": int(step), "metric": metric, "value": float(value)}
+    if fingerprint is not None:
+        record["eval_fingerprint"] = fingerprint
     with open(os.path.join(directory, BEST_FILE), "w") as f:
-        json.dump({"step": int(step), "metric": metric,
-                   "value": float(value)}, f)
+        json.dump(record, f)
 
 
 def best_step(directory: str) -> Optional[dict]:

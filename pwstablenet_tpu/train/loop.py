@@ -128,8 +128,23 @@ def _run_loop(
     step = int(state.step)  # one sync, at entry (covers resume)
     t_last = time.perf_counter()
     last_logged = step
-    # best-eval tracking (GAN quality is non-monotonic): resume-aware
+    # best-eval tracking (GAN quality is non-monotonic): resume-aware,
+    # but only when the eval configuration matches — a stale score from
+    # a different eval clip/model would suppress all new best exports
+    # (advisor finding, round 2)
+    eval_fp = getattr(eval_fn, "fingerprint", None)
     prev_best = ckpt.best_step(train_cfg.checkpoint_dir)
+    if prev_best is not None and prev_best.get("eval_fingerprint") != eval_fp:
+        print(
+            json.dumps({
+                "event": "best_tracking_reset",
+                "reason": "eval configuration changed since the recorded "
+                          "best (fingerprint mismatch); starting fresh",
+                "previous_best": prev_best,
+            }),
+            file=sys.stderr,
+        )
+        prev_best = None
     best_value = prev_best["value"] if prev_best else float("-inf")
     next_batch = shard_batch(
         jax.tree_util.tree_map(np.asarray, next(batch_iterator)), mesh
@@ -183,7 +198,7 @@ def _run_loop(
                 best_value = scalars["eval_stability"]
                 ckpt.save_best(
                     train_cfg.checkpoint_dir, state, step,
-                    "eval_stability", best_value,
+                    "eval_stability", best_value, fingerprint=eval_fp,
                 )
                 print(
                     json.dumps({

@@ -197,3 +197,64 @@ def test_scalar_log_file(tmp_path):
     lines = [json.loads(l) for l in open(log_path)]
     assert len(lines) == 2
     assert {"loss_g", "loss_d", "step"} <= set(lines[0])
+
+
+def test_best_tracking_resets_on_eval_config_change(tmp_path):
+    """A recorded best from a DIFFERENT eval configuration must not
+    suppress new best exports on resume (advisor finding, round 2):
+    a fingerprint mismatch resets the tracked best."""
+    def eval_a(state):
+        return {"eval_stability": 0.95}
+
+    eval_a.fingerprint = "cfg-A"
+
+    cfg = _tcfg(tmp_path, steps_per_epoch=1, eval_every=1,
+                checkpoint_every=10)
+    train(TINY, cfg, synthetic_batch_iterator(TINY, cfg),
+          max_steps=1, log_fn=lambda m: None, eval_fn=eval_a)
+    info = ckpt.best_step(cfg.checkpoint_dir)
+    assert info["value"] == pytest.approx(0.95)
+    assert info["eval_fingerprint"] == "cfg-A"
+
+    # resume with a different eval config scoring LOWER — without the
+    # reset, 0.6 < 0.95 would never export
+    def eval_b(state):
+        return {"eval_stability": 0.6}
+
+    eval_b.fingerprint = "cfg-B"
+    train(TINY, cfg, synthetic_batch_iterator(TINY, cfg),
+          max_steps=2, resume=True, log_fn=lambda m: None, eval_fn=eval_b)
+    info = ckpt.best_step(cfg.checkpoint_dir)
+    assert info["value"] == pytest.approx(0.6)
+    assert info["eval_fingerprint"] == "cfg-B"
+
+
+def test_clip_eval_hook_has_fingerprint():
+    from pwstablenet_tpu.eval.hooks import make_clip_eval_hook
+
+    clip = np.zeros((4, 16, 16, 3), np.uint8)
+    fn1 = make_clip_eval_hook(TINY, clip, batch_windows=2)
+    fn2 = make_clip_eval_hook(TINY, clip + 1, batch_windows=2)
+    assert isinstance(fn1.fingerprint, str) and fn1.fingerprint
+    assert fn1.fingerprint != fn2.fingerprint  # clip content matters
+
+
+def test_checkpoint_has_ema_probe_is_metadata_only(tmp_path, monkeypatch):
+    """_checkpoint_has_ema answers from the saved tree metadata without
+    restoring the full checkpoint (advisor finding, round 2)."""
+    import orbax.checkpoint as ocp
+
+    for track_ema, expect in ((True, True), (False, False)):
+        d = tmp_path / ("ema" if track_ema else "noema")
+        cfg = _tcfg(d, **(dict(ema_decay=0.99) if track_ema else {}))
+        state, _ = create_train_state(TINY, cfg, jax.random.PRNGKey(0))
+        ckpt.save_state(cfg.checkpoint_dir, state)
+        with ckpt._manager(cfg.checkpoint_dir, keep=1, create=False) as mgr:
+            # any full restore would go through mgr.restore — forbid it
+            monkeypatch.setattr(
+                mgr, "restore",
+                lambda *a, **k: (_ for _ in ()).throw(
+                    AssertionError("full restore used for EMA probe")
+                ),
+            )
+            assert ckpt._checkpoint_has_ema(mgr, 0) is expect

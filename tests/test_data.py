@@ -56,15 +56,37 @@ def test_batch_iterator(deepstab_root):
 
 
 def test_too_short_video_clear_error(tmp_path):
-    """A video shorter than the temporal window raises a clear
-    ValueError at sample time, not a raw frame-read IOError."""
+    """All pairs shorter than the temporal window raise a clear
+    ValueError at CONSTRUCTION (not at a random step mid-training —
+    advisor finding, round 2)."""
     root = str(tmp_path / "short")
     write_synthetic_deepstab(root, num_pairs=1, frames=4,
                              height=96, width=128)
     cfg = DataConfig(data_root=root, crop_size=(64, 64))
-    ds = DeepStabDataset(cfg, temporal_window=7)
     with pytest.raises(ValueError, match="temporal_window"):
-        ds.sample(np.random.default_rng(0))
+        DeepStabDataset(cfg, temporal_window=7)
+
+
+def test_too_short_pair_skipped_with_warning(tmp_path, capsys):
+    """A too-short pair among good ones is skipped at construction with
+    a stderr warning; sampling then never draws it."""
+    root = str(tmp_path / "mixed")
+    write_synthetic_deepstab(root, num_pairs=2, frames=20,
+                             height=96, width=128)
+    # truncate pair 01 to 4 frames by rewriting it
+    from pwstablenet_tpu.data.synthetic import synthetic_pair_clip
+    from pwstablenet_tpu.data.video_io import write_video
+
+    s, u = synthetic_pair_clip(4, 96, 128, seed=9)
+    write_video(str(tmp_path / "mixed/stable/01.avi"), s, 30.0, "MJPG")
+    write_video(str(tmp_path / "mixed/unstable/01.avi"), u, 30.0, "MJPG")
+    cfg = DataConfig(data_root=root, crop_size=(64, 64))
+    ds = DeepStabDataset(cfg, temporal_window=7)
+    assert len(ds.pairs) == 1
+    assert "skipping video pair" in capsys.readouterr().err
+    for _ in range(4):  # only the long pair is ever drawn
+        sample = ds.sample(np.random.default_rng(0))
+        assert sample["stacks"].shape == (2, 64, 64, 21)
 
 
 def test_missing_dataset_raises():

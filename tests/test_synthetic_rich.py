@@ -141,3 +141,49 @@ def test_write_synthetic_deepstab_rich(tmp_path):
     s = ds.sample(np.random.default_rng(0))
     assert s["stacks"].shape == (2, 64, 64, 9)
     assert s["stable"].dtype == np.uint8
+
+
+def test_motion_blur_smears_unstable_view():
+    """Shutter streaking lowers the unstable view's high-frequency
+    energy; the stable view (no blur applied) is untouched."""
+    s0, u0 = synthetic_pair_clip(8, 64, 64, seed=23, shake_px=10.0,
+                                 motion_blur=0.0)
+    s1, u1 = synthetic_pair_clip(8, 64, 64, seed=23, shake_px=10.0,
+                                 motion_blur=1.0)
+    np.testing.assert_array_equal(s0, s1)
+    hf = lambda c: float(np.abs(np.diff(c[1:], axis=2)).mean())  # noqa: E731
+    assert hf(u1) < 0.9 * hf(u0), (hf(u1), hf(u0))
+
+
+def test_exposure_steps_jump_and_persist():
+    """Exposure-step events produce abrupt persistent jumps in the
+    unstable view's mean brightness (beyond the smooth flicker)."""
+    _, u0 = synthetic_pair_clip(40, 48, 48, seed=31, shake_px=0.0,
+                                exposure_steps=0.0)
+    _, u1 = synthetic_pair_clip(40, 48, 48, seed=31, shake_px=0.0,
+                                exposure_steps=1.0)
+    m0 = u0.mean(axis=(1, 2, 3))
+    m1 = u1.mean(axis=(1, 2, 3))
+    jumps0 = float(np.abs(np.diff(m0)).max())
+    jumps1 = float(np.abs(np.diff(m1)).max())
+    assert jumps1 > 5 * (jumps0 + 1e-6), (jumps1, jumps0)
+
+
+def test_occluder_anchored_under_long_pan():
+    """With a strong cumulative pan, the occluder must still occlude
+    LATE frames (pre-fix it drifted off-frame — advisor finding): the
+    last frame differs from its occluder-free render by a localized
+    blob."""
+    kw = dict(shake_px=2.0, pan_px=3.0)
+    s_occ, _ = synthetic_pair_clip(60, 64, 64, seed=37, num_occluders=1,
+                                   **kw)
+    s_no, _ = synthetic_pair_clip(60, 64, 64, seed=37, num_occluders=0,
+                                  **kw)
+    # NOTE: with num_occluders=0 the rng stream shifts (occluder init
+    # draws are skipped), so the worlds differ; instead check the
+    # occluder's footprint directly: late-frame inter-frame change must
+    # still contain a high-change moving blob, as the early frames do.
+    d = np.abs(s_occ[1:] - s_occ[:-1]).mean(axis=-1)
+    early = float(d[:10].max())
+    late = float(d[-10:].max())
+    assert late > 0.3 * early, (late, early)
