@@ -30,6 +30,20 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _warp_flops(frames: int, h: int, w: int, c: int = 3,
+                backward: bool = False) -> float:
+    """Analytic flops of the fused Pallas warp (XLA's cost model sees
+    the kernel as opaque/zero-flop, under-reporting MFU).
+
+    Statically derivable tap arithmetic per output pixel: ~15 flops of
+    coordinate denormalization + corner/weight math, plus a 4-tap
+    bilerp (4 mul + 3 add = 7 flops) per channel.  The backward (flow
+    gradient) kernel re-does the tap math and accumulates 2-channel
+    grads — counted as 2x the forward on top of it."""
+    f = float(frames) * h * w * (15 + 7 * c)
+    return f * 3.0 if backward else f
+
+
 def _quantize(x):
     return np.clip((x + 1.0) * 127.5, 0, 255).round().astype(np.uint8)
 
@@ -163,12 +177,17 @@ def main() -> int:
         )
         flops = float((cost or {}).get("flops", 0.0))
         if flops > 0 and on_tpu:
+            # add the Pallas warp's tap arithmetic (one packed warp of
+            # n frames at full resolution), which the XLA cost model
+            # can't see inside the custom call
+            wf = _warp_flops(n, 720, 1280) if use_pallas else 0.0
+            flops += wf
             mfu = flops / dt / V5E_BF16_PEAK_FLOPS
             results["mfu_720p"] = mfu
             results["gflops_per_chunk_720p"] = flops / 1e9
             log(f"config 3 MFU: {100*mfu:.1f}% of v5e bf16 peak "
-                f"({flops/1e9:.1f} GFLOP/chunk{n}, XLA cost model; "
-                "excludes the Pallas warp kernel's flops)")
+                f"({flops/1e9:.1f} GFLOP/chunk{n}, XLA cost model + "
+                f"{wf/1e9:.2f} GFLOP analytic warp taps)")
     except Exception as e:  # cost model availability varies by backend
         log(f"MFU estimate unavailable: {e}")
 
@@ -281,6 +300,36 @@ def main() -> int:
     log(f"4K device path: {dt4k*1e3:.2f} ms/chunk{n16} "
         f"= {n16/dt4k:.0f} frames/sec/chip (pallas: {use_pallas_4k})")
 
+    # ---- causal live-mode latency (VERDICT r2 item 3) ----
+    # The zero-lookahead mode (temporal_center = T-1) exists for live
+    # streaming; the number it optimizes is per-frame latency, not
+    # throughput: device time of a chunk-1 step at 720p (plus chunk-4,
+    # the latency/throughput middle ground).
+    import dataclasses as _dc
+
+    causal_cfg = _dc.replace(
+        model_cfg, temporal_center=model_cfg.temporal_window - 1
+    )
+    for nlat in (1, 4):
+        stab_c = Stabilizer(
+            causal_cfg, PipelineConfig(batch_windows=nlat),
+            params=stab.params,
+        )
+        frames_c = jnp.asarray(
+            _quantize(
+                rng.random((nlat + T - 1, 720, 1280, 3), np.float32) * 2 - 1
+            )
+        )
+        up_c = stab_c._pallas_ok(frames_c.shape)
+        step_c = stab_c._chunk_step
+        dtc = device_time(
+            lambda f: step_c(stab_c.params, f, up_c), (frames_c,), iters=10
+        )
+        results[f"causal_720p_ms_per_frame_chunk{nlat}"] = dtc / nlat * 1e3
+        log(f"causal live mode (zero lookahead), 720p chunk{nlat}: "
+            f"{dtc*1e3:.2f} ms/step = {dtc/nlat*1e3:.2f} ms/frame device "
+            f"latency ({nlat/dtc:.0f} fps, pallas: {up_c})")
+
     # ---- configs 4 + 5 (training half): adversarial train step through
     # the data-parallel path (mesh engaged; on one chip the trivial mesh
     # IS the plain step, on the 8-way CPU mesh it exercises the
@@ -324,22 +373,30 @@ def main() -> int:
         f"= {8/dts:.1f} samples/s/chip (device)")
 
     # train-step MFU (VERDICT r1 item 4): analytic XLA cost model flops
-    # of the whole fused D+G module / device time / bf16 peak.  The
-    # Pallas warp kernels' flops are excluded by the cost model (small:
-    # ~4.8 ms of the step is warp, and warps are gather- not
-    # flop-bound), so this slightly UNDERSTATES true utilization.
+    # of the whole fused D+G module / device time / bf16 peak, plus the
+    # Pallas warp kernels' analytic tap flops (the cost model sees the
+    # custom calls as zero-flop): per step, each of the 2B fold-frames
+    # is warped once per cascade stage at model resolution, forward +
+    # flow-gradient VJP.
     try:
         tcost = (
             dp_step.lower(state_box[0], batch).compile().cost_analysis()
         )
         tflops = (tcost or {}).get("flops", 0.0)
         if tflops:
+            mh, mw = model_cfg.model_resolution
+            twf = _warp_flops(
+                2 * train_cfg.batch_size * model_cfg.num_stages, mh, mw,
+                backward=True,
+            )
+            tflops += twf
             tmfu = tflops / mesh.size / dts / V5E_BF16_PEAK_FLOPS
             results["train_mfu"] = tmfu
             results["train_gflops_per_step"] = tflops / mesh.size / 1e9
             log(f"config 4/5 train-step MFU: {100*tmfu:.1f}% of v5e "
                 f"bf16 peak ({tflops/mesh.size/1e9:.0f} GFLOP/step/chip, "
-                "XLA cost model; excludes Pallas warp flops)")
+                f"XLA cost model + {twf/1e9:.2f} GFLOP analytic warp "
+                "taps fwd+vjp)")
     except Exception as e:  # noqa: BLE001 — cost model varies by backend
         log(f"train MFU unavailable: {e}")
 

@@ -270,6 +270,35 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_apply_warp(args) -> int:
+    """Re-apply an exported warp-field archive to the original video;
+    proves the emitted fields are the transformation itself (the
+    round-trip is test-enforced to match ``stabilize``'s output)."""
+    import numpy as np
+
+    from pwstablenet_tpu.data import video_io
+    from pwstablenet_tpu.data.warp_fields import load_warp_fields
+    from pwstablenet_tpu.pipeline import apply_warp_fields
+
+    flows = load_warp_fields(args.warp_fields)
+    frames, fps = video_io.read_video(args.input, dtype=np.uint8,
+                                      max_frames=flows.shape[0])
+    if frames.shape[0] != flows.shape[0]:
+        print(
+            f"pwstablenet apply-warp: error: {args.input} has "
+            f"{frames.shape[0]} frames but {args.warp_fields} holds "
+            f"{flows.shape[0]} fields",
+            file=sys.stderr,
+        )
+        raise SystemExit(2)
+    out = apply_warp_fields(frames, flows, _model_cfg(args),
+                            batch_frames=args.batch_frames)
+    video_io.write_video(args.output, out, fps)
+    print(json.dumps({"frames": int(out.shape[0]),
+                      "output": args.output}))
+    return 0
+
+
 def cmd_bench(args) -> int:
     import importlib.util
     import os
@@ -418,6 +447,20 @@ def build_parser() -> argparse.ArgumentParser:
     x.add_argument("--width", type=int, default=1280)
     x.add_argument("--batch-windows", type=int, default=8)
     x.set_defaults(fn=cmd_export)
+
+    aw = sub.add_parser(
+        "apply-warp",
+        help="re-apply exported warp fields (.npz) to the original "
+             "video — the fields ARE the transformation, so this "
+             "reproduces the stabilized output",
+    )
+    _add_model_args(aw)
+    aw.add_argument("--input", required=True, help="original unstable video")
+    aw.add_argument("--warp-fields", required=True,
+                    help=".npz from stabilize --warp-fields")
+    aw.add_argument("--output", required=True)
+    aw.add_argument("--batch-frames", type=int, default=8)
+    aw.set_defaults(fn=cmd_apply_warp)
 
     b = sub.add_parser("bench", help="run the benchmark suite")
     b.set_defaults(fn=cmd_bench)

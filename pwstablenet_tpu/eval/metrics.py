@@ -24,7 +24,7 @@ not on the device path.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -76,8 +76,22 @@ def interframe_transforms(frames: np.ndarray) -> List[np.ndarray]:
     return out
 
 
-def stability_score(frames: np.ndarray) -> float:
-    """Low-frequency energy ratio of the motion trajectories."""
+def stability_score(frames: np.ndarray, band: Tuple[int, int] = (1, 6)) -> float:
+    """Low-frequency energy ratio of the motion trajectories.
+
+    ``band`` is the half-open rfft-bin range counted as "low frequency"
+    (default bins 1..5 = the literature's 2nd-6th components protocol).
+
+    PROTOCOL CAVEAT: the published band comes from long trajectories.
+    On a T-frame clip the rfft has T//2+1 bins, so for short clips
+    (e.g. 32 frames -> 17 bins) the fixed 5-bin band spans a third of
+    the spectrum and inflates scores — for the unstable input, the GT
+    ceiling, and the output alike, so *comparisons* on equal-length
+    clips remain meaningful, but absolute values are only comparable
+    across equal clip lengths.  For protocol-faithful absolute numbers
+    use clips of >= 200 frames (where the band is <= 5% of the
+    spectrum), as the round-3 long-clip re-scoring does (README).
+    """
     ms = interframe_transforms(frames)
     if not ms:
         return 1.0
@@ -85,13 +99,14 @@ def stability_score(frames: np.ndarray) -> float:
     tx = np.cumsum([m[0, 2] for m in ms])
     ty = np.cumsum([m[1, 2] for m in ms])
     rot = np.cumsum([np.arctan2(m[1, 0], m[0, 0]) for m in ms])
+    lo, hi = band
 
     def ratio(path: np.ndarray) -> float:
         spec = np.abs(np.fft.rfft(path - path.mean())) ** 2
         total = spec[1:].sum()
         if total <= 1e-12:
             return 1.0
-        return float(spec[1:6].sum() / total)
+        return float(spec[lo:hi].sum() / total)
 
     return float(np.mean([ratio(tx), ratio(ty), ratio(rot)]))
 

@@ -383,3 +383,61 @@ def stabilize(
 
     Mirrors the reference inference entry point (BASELINE.json:5)."""
     return Stabilizer(model_cfg, params=params).stabilize_frames(frames)
+
+
+def apply_warp_fields(
+    frames: np.ndarray,
+    flows: np.ndarray,
+    model_cfg: Optional[ModelConfig] = None,
+    batch_frames: int = 8,
+) -> np.ndarray:
+    """Re-apply exported warp fields to the original frames.
+
+    The warp fields a stabilization run emits (``stabilize_video``'s
+    ``warp_field_path`` .npz / ``stabilize_frames``'s second return) ARE
+    the transformation, not a log: applying them to the original clip
+    reproduces the stabilized output exactly (same fused warp, same
+    padding/align semantics — one code path).  Use cases: re-rendering
+    at a different crop, auditing a run, or applying a correction
+    computed offline.
+
+    Args:
+      frames: (T, H, W, 3) original clip — uint8 or [-1, 1] float32.
+      flows:  (T, h, w, 2) normalized displacement fields (any model
+        resolution; bilinearly upsampled to the frame size on device),
+        e.g. from ``data.warp_fields.load_warp_fields``.
+      model_cfg: warp semantics source (padding mode, align corners).
+      batch_frames: frames per device step (static shapes: the last
+        chunk is pad-replicated to this size and trimmed).
+    Returns:
+      stabilized frames, (T, H, W, 3), in the input dtype.
+    """
+    if frames.shape[0] != flows.shape[0]:
+        raise ValueError(
+            f"frames ({frames.shape[0]}) and warp fields "
+            f"({flows.shape[0]}) must cover the same time steps"
+        )
+    cfg = model_cfg or ModelConfig()
+    helper = Stabilizer(cfg, PipelineConfig(batch_windows=batch_frames))
+    n = max(int(batch_frames), 1)
+    outs = []
+    for i in range(0, frames.shape[0], n):
+        f = frames[i : i + n]
+        fl = flows[i : i + n]
+        pad = n - f.shape[0]
+        if pad:
+            f = np.concatenate([f, np.repeat(f[-1:], pad, axis=0)])
+            fl = np.concatenate([fl, np.repeat(fl[-1:], pad, axis=0)])
+        use_pallas = helper._pallas_ok(
+            (f.shape[0] + cfg.temporal_window - 1,) + f.shape[1:]
+        )
+        out = warp_image(
+            jnp.asarray(f),
+            jnp.asarray(fl).astype(jnp.float32),
+            padding_mode=cfg.padding_mode,
+            align_corners=cfg.align_corners,
+            use_pallas=use_pallas,
+        )
+        out = np.asarray(out)
+        outs.append(out[: n - pad] if pad else out)
+    return np.concatenate(outs)

@@ -31,3 +31,19 @@ t0 = time.perf_counter()
 state, metrics = step(state, batch)
 jax.block_until_ready(metrics)
 print("step2", time.perf_counter() - t0, flush=True)
+
+# full-config clip-sharded inference chunk on the same mesh
+from pwstablenet_tpu.config import PipelineConfig
+from pwstablenet_tpu.pipeline import Stabilizer
+from pwstablenet_tpu.train.state import generator_params
+
+stabber = Stabilizer(ModelConfig(), PipelineConfig(batch_windows=8),
+                     params=generator_params(state), mesh=mesh)
+clip = (np.random.default_rng(0).integers(
+    0, 256, (24, 144, 256, 3))).astype(np.uint8)
+t0 = time.perf_counter()
+out, flows = stabber.stabilize_frames(clip)
+print("clip-sharded inference chunk (default config, mesh x8):",
+      out.shape, flows.shape, time.perf_counter() - t0, flush=True)
+assert out.shape == clip.shape and np.isfinite(flows).all()
+print("PROBE OK", flush=True)

@@ -3,7 +3,10 @@
 step equivalence without a pod.
 """
 
+import os
+
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -373,3 +376,45 @@ def test_spatial_sharded_warp_uint8():
     ).round().astype(np.int16)
     diff = np.abs(np.asarray(out).astype(np.int16) - ref_u8)
     assert diff.max() <= 1, diff.max()
+
+
+@pytest.mark.skipif(
+    os.environ.get("PWSTABLE_RUN_SLOW") != "1",
+    reason="DEFAULT-config sharded step: ~15+ min cold XLA-CPU compile "
+           "on this 1-core host (set PWSTABLE_RUN_SLOW=1; run green in "
+           "round 3 — see STATUS.md / scratch/r5_default_sharded_probe.py)",
+)
+def test_default_config_sharded_one_step():
+    """ONE DP train step of the FULL default config — 8 levels, bf16
+    compute, instance norm, dropout rngs, EMA — on the 8-device mesh,
+    plus a full-config clip-sharded inference chunk (VERDICT r2 item 4:
+    SPMD interactions of the real config, not the 16x16 toy)."""
+    from pwstablenet_tpu.config import PipelineConfig
+    from pwstablenet_tpu.pipeline import Stabilizer
+    from pwstablenet_tpu.train.state import generator_params
+
+    cfg = ModelConfig(use_dropout=True)
+    tcfg = TrainConfig(batch_size=8, ema_decay=0.995)
+    state, (gen, disc, feat) = create_train_state(
+        cfg, tcfg, jax.random.PRNGKey(0)
+    )
+    mesh = make_mesh(MeshConfig())
+    assert mesh.devices.size == 8
+    step = data_parallel_step(make_train_step(cfg, tcfg, gen, disc, feat),
+                              mesh)
+    state = replicate_tree(state, mesh)
+    batch = shard_batch(
+        make_train_batch(8, 256, 256, cfg.temporal_window, seed=0), mesh
+    )
+    state, metrics = step(state, batch)
+    vals = {k: float(v) for k, v in metrics.items()}
+    assert all(np.isfinite(v) for v in vals.values()), vals
+    assert state.g_ema is not None
+
+    stab = Stabilizer(cfg, PipelineConfig(batch_windows=8),
+                      params=generator_params(state), mesh=mesh)
+    clip = (np.random.default_rng(0).integers(
+        0, 256, (24, 144, 256, 3))).astype(np.uint8)
+    out, flows = stab.stabilize_frames(clip)
+    assert out.shape == clip.shape
+    assert np.isfinite(flows).all()
