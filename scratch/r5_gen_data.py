@@ -6,6 +6,6 @@ from pwstablenet_tpu.data.deepstab import write_synthetic_deepstab
 
 out = sys.argv[1]
 t0 = time.time()
-write_synthetic_deepstab(out, num_pairs=61, frames=80, height=320,
+write_synthetic_deepstab(out, num_pairs=61, frames=64, height=320,
                          width=448, seed=5, rich=True)
 print(f"done in {time.time()-t0:.0f}s", flush=True)
