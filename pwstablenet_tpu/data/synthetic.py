@@ -52,10 +52,32 @@ RICH: Dict[str, float] = dict(
 )
 
 
-def _texture(rng: np.random.Generator, h: int, w: int, c: int = 3) -> np.ndarray:
-    """Smooth random texture in [-1, 1] with multi-scale detail."""
+def _texture(
+    rng: np.random.Generator, h: int, w: int, c: int = 3,
+    detail_px: float = 0.0,
+) -> np.ndarray:
+    """Smooth random texture in [-1, 1] with multi-scale detail.
+
+    The base octaves place 4..32 control points across the image, so the
+    finest detail is ``min(h, w) / 32`` pixels — resolution-RELATIVE.
+    At 320x448 that is ~10 px (plenty of trackable corners); at 720p+ it
+    is 25-60 px, i.e. a near-featureless world where neither the model
+    nor a feature-tracking metric has anything to lock onto (a real
+    720p video has fine texture).  ``detail_px > 0`` appends octaves
+    until the control-point spacing reaches ~``detail_px`` pixels at
+    native resolution, making scene detail resolution-ABSOLUTE.  The
+    extra rng draws happen only when the knob is on, so knob-off
+    streams (and every previously trained/evaluated clip) stay
+    bit-identical.
+    """
     img = np.zeros((h, w, c), np.float32)
-    for scale in (4, 8, 16, 32):
+    scales = [4, 8, 16, 32]
+    if detail_px > 0:
+        s = scales[-1] * 2
+        while min(h, w) / (s / 2) > detail_px and s <= min(h, w):
+            scales.append(s)
+            s *= 2
+    for scale in scales:
         small = rng.standard_normal((scale, scale, c)).astype(np.float32)
         # bilinear upsample via np (small sizes; host-side only)
         ys = np.linspace(0, scale - 1, h)
@@ -192,6 +214,7 @@ def synthetic_pair_clip(
     textureless_frac: float = 0.0,
     motion_blur: float = 0.0,
     exposure_steps: float = 0.0,
+    texture_detail_px: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Returns (stable, unstable) clips, each (T, H, W, 3) in [-1, 1].
 
@@ -206,18 +229,22 @@ def synthetic_pair_clip(
     is streaked along that fraction of its inter-frame apparent motion.
     ``exposure_steps`` in [0, 1] scales sudden persistent exposure jumps
     on the unstable view (auto-exposure hunting; ~6% of frames jump).
+    ``texture_detail_px`` > 0 adds fine texture octaves down to ~that
+    pixel scale at native resolution (see ``_texture``) — REQUIRED for
+    meaningful clips above ~480p, where the base octaves alone leave the
+    world featureless relative to the frame.
     """
     rng = np.random.default_rng(seed)
     margin = int(shake_px * 4 + pan_px * num_frames + 8)
     wh, ww = height + 2 * margin, width + 2 * margin
 
     # ---- world: base plane + optional parallax layers ----------------
-    base = _texture(rng, wh, ww)
+    base = _texture(rng, wh, ww, detail_px=texture_detail_px)
     if textureless_frac > 0:
         base = _flatten_textureless(rng, base, textureless_frac)
     layers: List[Tuple[np.ndarray, np.ndarray, float]] = []  # (tex, alpha, depth)
     for k in range(parallax_layers):
-        tex = _texture(rng, wh, ww)
+        tex = _texture(rng, wh, ww, detail_px=texture_detail_px)
         field = _smooth_field(rng, wh, ww)
         # each layer covers ~25% of the view with soft-edged blobs
         thresh = np.quantile(field, 0.75)

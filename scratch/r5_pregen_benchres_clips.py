@@ -29,6 +29,10 @@ for name, (T, H, W) in CONFIGS.items():
         scale = H / 320.0
         stable, unstable = synthetic_pair_clip(
             T, H, W, seed=4321, shake_px=7.0 * scale, pan_px=1.0 * scale,
+            texture_detail_px=8.0,  # v2: resolution-absolute fine detail
+            # (round-5 finding: without it, 720p+ worlds are featureless
+            # ~60 px blobs — the metric tracker locks onto occluders and
+            # the model input lacks realistic structure)
             **RICH
         )
         np.savez(cache, stable=stable.astype(np.float16),

@@ -53,6 +53,7 @@ for name, (T, H, W) in CONFIGS.items():
         scale = H / 320.0  # shake/pan in proportion to the frame
         stable, unstable = synthetic_pair_clip(
             T, H, W, seed=4321, shake_px=7.0 * scale, pan_px=1.0 * scale,
+            texture_detail_px=8.0,  # v2 clips (see r5_pregen_benchres)
             **RICH
         )
         np.savez(cache, stable=stable.astype(np.float16),
@@ -76,7 +77,13 @@ for name, (T, H, W) in CONFIGS.items():
     in_clip, _ = video_io.read_video(inp, dtype=np.uint8)
     inf = in_clip.astype(np.float32) / 127.5 - 1.0
     rep = stability_report(outf, inf)
-    rep["gt_ceiling"] = stability_report(stable)["stability_score"]
+    gt_rep = stability_report(stable)
+    rep["gt_ceiling"] = gt_rep["stability_score"]
+    rep["gt_jitter_rms_px"] = gt_rep["jitter_rms_px"]
+    # aligned-GT fidelity (synthetic: the stable clip IS the target path)
+    from pwstablenet_tpu.eval.metrics import psnr
+
+    rep["psnr_vs_gt"] = psnr(outf, stable)
     rep["fps_wall_file2file"] = r["frames"] / wall
     rep["frames"] = r["frames"]
     print(f"SCORE[{name}]", json.dumps(

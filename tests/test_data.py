@@ -108,12 +108,16 @@ def test_stability_report_keys():
     rep = stability_report(stable, unstable)
     assert set(rep) == {
         "stability_score",
+        "jitter_rms_px",
         "original_stability_score",
+        "original_jitter_rms_px",
         "cropping_ratio",
         "distortion_value",
     }
     assert 0 < rep["cropping_ratio"] < 2
     assert 0 < rep["distortion_value"] <= 1.001
+    # GT-stable clip jitters less than the shaky one
+    assert rep["jitter_rms_px"] < rep["original_jitter_rms_px"]
 
 
 def test_interframe_transform_recovers_known_shift():
@@ -132,6 +136,70 @@ def test_interframe_transform_recovers_known_shift():
     np.testing.assert_allclose(ms[0][1, 2], 3.0, atol=0.5)
     # pure translation: rotation part ~ identity
     np.testing.assert_allclose(ms[0][:2, :2], np.eye(2), atol=0.02)
+
+
+def test_tracking_failure_holds_velocity_not_identity():
+    """Untrackable frames reuse the previous transform (constant-velocity
+    hold): an identity substitution would inject a fake full-stop — a
+    high-frequency step — into the trajectory and penalize the stability
+    score for a metrology failure (round-5 finding: this is exactly what
+    happened on blurred high-resolution frames)."""
+    from pwstablenet_tpu.data.synthetic import synthetic_pair_clip
+    from pwstablenet_tpu.eval.metrics import interframe_transforms
+
+    stable, _ = synthetic_pair_clip(2, 96, 128, seed=5, pan_px=0.0)
+    a = stable[0]
+    b = np.roll(a, shift=(0, 4), axis=(0, 1))
+    blank = np.zeros_like(a)  # zero corners: tracking must fail
+    ms = interframe_transforms(np.stack([a, b, blank, blank]))
+    assert len(ms) == 3
+    np.testing.assert_allclose(ms[0][0, 2], 4.0, atol=0.5)
+    # both untrackable steps hold the last measured motion
+    np.testing.assert_array_equal(ms[1], ms[0])
+    np.testing.assert_array_equal(ms[2], ms[0])
+
+
+def test_jitter_rms_px_measures_shake_amplitude():
+    """jitter_rms_px ~ 0 on a smooth pan ramp; ~ the shake amplitude on
+    an alternating shake — independent of the pan (the property the
+    spectral stability score loses on long panning clips)."""
+    from pwstablenet_tpu.data.synthetic import synthetic_pair_clip
+    from pwstablenet_tpu.eval.metrics import jitter_rms_px
+
+    stable, _ = synthetic_pair_clip(2, 96, 128, seed=8, pan_px=0.0)
+    base = stable[0]
+
+    def clip_from_offsets(offsets):
+        return np.stack(
+            [np.roll(base, shift=(0, int(o)), axis=(0, 1)) for o in offsets]
+        )
+
+    t = np.arange(24)
+    smooth = clip_from_offsets(2 * t)  # pure 2 px/frame pan
+    shaky = clip_from_offsets(2 * t + 4 * (-1) ** t)  # +-4 px shake
+    j_smooth = jitter_rms_px(smooth)
+    j_shaky = jitter_rms_px(shaky)
+    assert j_smooth < 1.0, j_smooth
+    assert 2.0 < j_shaky < 8.0, j_shaky
+
+
+def test_high_resolution_tracking_with_texture_detail():
+    """At 720p the base texture octaves alone are featureless (~60 px
+    blobs) and the tracker used to lock onto moving occluders/noise;
+    with texture_detail_px the metric recovers a known pan at native
+    resolution (round-5 fix for the at-resolution scoring)."""
+    from pwstablenet_tpu.data.synthetic import synthetic_pair_clip
+    from pwstablenet_tpu.eval.metrics import interframe_transforms
+
+    stable, _ = synthetic_pair_clip(
+        4, 720, 1280, seed=9, pan_px=2.25, shake_px=0.0,
+        texture_detail_px=8.0,
+    )
+    ms = interframe_transforms(stable)
+    # camera pans (+x, +0.3x in y) => content moves by (-pan_x, -pan_y)
+    for m in ms:
+        np.testing.assert_allclose(m[0, 2], -2.25, atol=0.5)
+        np.testing.assert_allclose(m[1, 2], -0.675, atol=0.5)
 
 
 def test_cropping_and_distortion_detect_known_warps():

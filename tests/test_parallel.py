@@ -380,9 +380,10 @@ def test_spatial_sharded_warp_uint8():
 
 @pytest.mark.skipif(
     os.environ.get("PWSTABLE_RUN_SLOW") != "1",
-    reason="DEFAULT-config sharded step: ~15+ min cold XLA-CPU compile "
-           "on this 1-core host (set PWSTABLE_RUN_SLOW=1; run green in "
-           "round 3 — see STATUS.md / scratch/r5_default_sharded_probe.py)",
+    reason="DEFAULT-config sharded step: 2h51m cold XLA-CPU compile on "
+           "this host (measured; the same step compiles in ~31s on TPU). "
+           "Set PWSTABLE_RUN_SLOW=1 to run; run green in round 3 — see "
+           "STATUS.md / scratch/r5_default_sharded_probe.py",
 )
 def test_default_config_sharded_one_step():
     """ONE DP train step of the FULL default config — 8 levels, bf16

@@ -38,6 +38,28 @@ def test_default_knobs_reproduce_flat_world():
     np.testing.assert_array_equal(u_a, u_b)
 
 
+def test_texture_detail_adds_fine_structure_only_when_on():
+    """texture_detail_px=0 leaves the rng stream (and output)
+    bit-identical; >0 adds fine octaves, raising gradient energy."""
+    s_off, u_off = synthetic_pair_clip(2, 256, 256, seed=13, **RICH)
+    s_off2, _ = synthetic_pair_clip(
+        2, 256, 256, seed=13, texture_detail_px=0.0, **RICH
+    )
+    np.testing.assert_array_equal(s_off, s_off2)
+    # the knob targets HIGH resolutions (at 720p the base octaves leave
+    # ~60 px featureless blobs); compare gradient energy there
+    s_hi_off, _ = synthetic_pair_clip(2, 720, 960, seed=13, shake_px=0.0)
+    s_hi_on, _ = synthetic_pair_clip(
+        2, 720, 960, seed=13, shake_px=0.0, texture_detail_px=8.0
+    )
+    grad = lambda c: float(  # noqa: E731 — mean gradient magnitude
+        np.abs(np.diff(c, axis=1)).mean() + np.abs(np.diff(c, axis=2)).mean()
+    )
+    assert grad(s_hi_on) > 1.5 * grad(s_hi_off), (
+        grad(s_hi_on), grad(s_hi_off)
+    )
+
+
 def test_textureless_regions_flatten_texture():
     """Flattening most of the base plane lowers spatial variance of the
     stable view (same seed => same base texture before flattening)."""
