@@ -56,8 +56,14 @@ def _track_affine(
     # 1080p, where a handful of features on a moving foreground object
     # can hijack the fit)
     max_corners = max(200, (ga.shape[0] * ga.shape[1]) // 2000)
+    # corner spacing scales with the frame so a small high-contrast
+    # foreground object cannot supply a large share of the corners (at
+    # 720p a textured occluder covering ~3% of the frame was providing
+    # ~37% of fixed-spacing corners and dragging the global fit)
+    min_dist = max(8, min(ga.shape[0], ga.shape[1]) // 36)
     pts = cv2.goodFeaturesToTrack(
-        ga, maxCorners=max_corners, qualityLevel=0.01, minDistance=8
+        ga, maxCorners=max_corners, qualityLevel=0.01,
+        minDistance=min_dist,
     )
     if pts is None or len(pts) < 8:
         return None
@@ -74,10 +80,16 @@ def _track_affine(
     ok = (status.ravel() == 1) & (status2.ravel() == 1) & (fb_err < 1.0)
     if ok.sum() < 8:
         return None
+    # tight RANSAC threshold: scene motion modes (background vs moving
+    # foreground / parallax layers) sit a few px apart with sub-px
+    # spread each; the default 3 px threshold merges them into one
+    # consensus set and the fit splits the difference (absorbing the
+    # offset into a fake scale term). 1 px isolates the majority mode.
+    kw = dict(method=cv2.RANSAC, ransacReprojThreshold=1.0)
     if full:
-        m, _ = cv2.estimateAffine2D(pts[ok], nxt[ok])
+        m, _ = cv2.estimateAffine2D(pts[ok], nxt[ok], **kw)
     else:
-        m, _ = cv2.estimateAffinePartial2D(pts[ok], nxt[ok])
+        m, _ = cv2.estimateAffinePartial2D(pts[ok], nxt[ok], **kw)
     return m
 
 
