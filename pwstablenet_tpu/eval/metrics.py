@@ -168,9 +168,15 @@ def jitter_rms_px(frames: np.ndarray, smooth_frames: int = 9) -> float:
         np.cumsum([m[0, 2] for m in ms]),
         np.cumsum([m[1, 2] for m in ms]),
     ):
-        pad = np.pad(path, (k // 2, k // 2), mode="edge")
-        smooth = np.convolve(pad, np.ones(k) / k, mode="valid")
-        vals.append(np.mean((path - smooth) ** 2))
+        if len(path) < k:
+            vals.append(np.var(path))
+            continue
+        # interior-only residual ('valid' convolution): edge padding
+        # would bias the smooth path by ~slope*k/4 at the clip ends,
+        # charging a steep pan ramp with phantom jitter (measured:
+        # a 6 px/frame GT pan read a constant 1.23 px floor)
+        smooth = np.convolve(path, np.ones(k) / k, mode="valid")
+        vals.append(np.mean((path[k // 2 : k // 2 + len(smooth)] - smooth) ** 2))
     return float(np.sqrt(np.mean(vals)))
 
 
