@@ -349,10 +349,12 @@ def cmd_make_data(args) -> int:
         width=args.width,
         seed=args.seed,
         rich=args.rich,
+        texture_detail_px=args.texture_detail_px,
     )
     print(json.dumps({
         "root": args.out, "pairs": args.pairs, "frames": args.frames,
         "height": args.height, "width": args.width, "rich": args.rich,
+        "texture_detail_px": args.texture_detail_px,
     }))
     return 0
 
@@ -487,6 +489,11 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--height", type=int, default=288)
     d.add_argument("--width", type=int, default=384)
     d.add_argument("--seed", type=int, default=0)
+    d.add_argument("--texture-detail-px", type=float, default=0.0,
+                   help="add fine texture octaves down to ~this pixel "
+                        "scale at native resolution (0 = off). REQUIRED "
+                        "for meaningful clips above ~480p, where the "
+                        "base octaves alone leave the world featureless")
     d.set_defaults(fn=cmd_make_data)
     return p
 
