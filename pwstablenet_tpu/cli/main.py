@@ -42,7 +42,14 @@ def _add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--interstage", choices=["features", "warped", "both"],
                    default=None)
     p.add_argument("--model-height", type=int, default=None)
-    p.add_argument("--model-width", type=int, default=None)
+    p.add_argument("--model-width", type=int, default=None,
+                   help="working resolution (params are fully "
+                        "convolutional: a 256-trained checkpoint runs "
+                        "at any multiple of 2^num_levels)")
+    p.add_argument("--use-dropout", action="store_true", default=None,
+                   help="decoder dropout (training regularizer — the "
+                        "measured champion recipe; inference-time "
+                        "generators are deterministic regardless)")
 
 
 def _model_cfg(args):
@@ -53,6 +60,7 @@ def _model_cfg(args):
     for field in (
         "temporal_window", "temporal_center", "num_stages", "num_levels",
         "base_features", "max_features", "norm", "interstage",
+        "use_dropout",
     ):
         v = getattr(args, field, None)
         if v is not None:

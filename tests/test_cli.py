@@ -53,6 +53,26 @@ def test_train_synthetic_smoke(tmp_path, capsys):
     assert os.path.isdir(tmp_path / "ckpt")
 
 
+def test_train_use_dropout_flag(tmp_path, capsys):
+    """--use-dropout reaches ModelConfig (the champion recipe's
+    regularizer is CLI-reachable) and the tiny train still runs."""
+    rc = main([
+        "train", "--synthetic", "--steps", "1", "--batch-size", "2",
+        "--num-levels", "3", "--base-features", "8",
+        "--temporal-window", "3", "--model-height", "16",
+        "--model-width", "16", "--log-every", "1", "--use-dropout",
+        "--checkpoint-every", "1",
+        "--checkpoint-dir", str(tmp_path / "ckpt"),
+    ])
+    assert rc == 0
+    lines = [
+        json.loads(l)
+        for l in capsys.readouterr().out.strip().splitlines()
+        if l.startswith("{")
+    ]
+    assert any("loss_g" in l for l in lines)
+
+
 def test_train_ema_export_then_stabilize(tmp_path, capsys):
     """--ema-decay + --export-params produce inference weights that
     `stabilize --checkpoint` loads; --tb-log-dir writes event files."""
