@@ -188,6 +188,38 @@ def test_prefetcher_order_and_errors():
         list(video_io.Prefetcher(bad(), depth=1))
 
 
+def test_params_transfer_across_working_resolutions(clip):
+    """The UNet is fully convolutional and its norms carry no spatial
+    state, so params trained at one model_resolution apply unchanged at
+    any other multiple of 2^num_levels (the round-5 zero-shot
+    512-inference property; CLI --model-height/width).  Same params at
+    2x the working resolution must produce finite flows at the new flow
+    resolution and a full-size stabilized clip."""
+    import dataclasses
+
+    import jax
+
+    base = Stabilizer(SMALL, PipelineConfig(batch_windows=4))
+    params = base.params  # initialized at 32x32
+    hi_cfg = dataclasses.replace(SMALL, model_resolution=(64, 64))
+    hi = Stabilizer(hi_cfg, PipelineConfig(batch_windows=4), params=params)
+    out, flows = hi.stabilize_frames(clip)
+    assert out.shape == clip.shape
+    assert flows.shape == (clip.shape[0], 64, 64, 2)
+    assert np.isfinite(flows).all()
+    # sanity: the transferred params produce the SAME flow field (up to
+    # resampling) as at the native resolution — correlate the coarse
+    # flow with the downsampled fine flow on one frame
+    _, flows_lo = base.stabilize_frames(clip[:6])
+    fine = jax.image.resize(flows[:6], flows_lo.shape, method="bilinear")
+    a = np.asarray(fine[3]).ravel()
+    b = np.asarray(flows_lo[3]).ravel()
+    denom = float(np.linalg.norm(a) * np.linalg.norm(b))
+    if denom > 1e-8:  # untrained zero-init head can make flows ~0
+        corr = float(np.dot(a, b) / denom)
+        assert corr > 0.5, corr
+
+
 def test_warp_field_dtype_float16(clip):
     """PipelineConfig.warp_field_dtype: fp16 flow transport matches the
     f32 flows within fp16 precision."""
