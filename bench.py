@@ -113,6 +113,29 @@ def main() -> int:
     from pwstablenet_tpu.pipeline import Stabilizer
     from pwstablenet_tpu.utils.timing import device_time
 
+    # Backend init can HANG (not error) when the remote-attached TPU's
+    # tunnel is down — the block sits in native code, so in-process
+    # SIGALRM never fires (measured round 5: the relay daemon died
+    # mid-round and every device op blocked forever, through a 400s
+    # alarm).  Pre-flight in a KILLABLE subprocess instead.
+    import subprocess
+
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "jnp.ones((8, 8)).sum().block_until_ready();"
+             "print('OK')"],
+            timeout=300, capture_output=True, text=True,
+        )
+        if "OK" not in probe.stdout:
+            log("device preflight failed:\n" + probe.stderr[-2000:])
+            return 1
+    except subprocess.TimeoutExpired:
+        log("device preflight exceeded 300s — the TPU link is down "
+            "(no relay listener?); bench refuses to hang")
+        return 1
+
     backend = jax.default_backend()
     log(f"backend: {backend}, devices: {jax.devices()}")
     on_tpu = backend == "tpu"
