@@ -44,6 +44,10 @@ class _VideoCache:
         if not self._cap.isOpened():
             raise FileNotFoundError(path)
         self.num_frames = int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        if self.num_frames <= 0:
+            # broken header: fall back to the decode-scan count so the
+            # sampler's range matches what is actually decodable
+            self.num_frames = _probe_frame_count(path)
         self._pos = 0
         self.lock = threading.Lock()
 
@@ -67,14 +71,25 @@ class _VideoCache:
 
 
 def _probe_frame_count(path: str) -> int:
-    """Frame count from the container header (no frame decode)."""
+    """Frame count from the container header (no frame decode).
+
+    Some containers/codecs report CAP_PROP_FRAME_COUNT as 0 (or
+    garbage <= 0) despite being perfectly decodable; for those the
+    probe falls back to a grab() scan so a valid pair is not silently
+    dropped at dataset construction (advisor finding, round 3)."""
     import cv2
 
     cap = cv2.VideoCapture(path)
     try:
         if not cap.isOpened():
             raise FileNotFoundError(path)
-        return int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        if n > 0:
+            return n
+        n = 0
+        while cap.grab():
+            n += 1
+        return n
     finally:
         cap.release()
 

@@ -93,25 +93,41 @@ def _track_affine(
     return m
 
 
-def interframe_transforms(frames: np.ndarray) -> List[np.ndarray]:
+def interframe_transforms(
+    frames: np.ndarray, return_tracked_fraction: bool = False
+):
     """Affine transforms between consecutive frames.
 
     Frames where tracking fails reuse the PREVIOUS transform
     (constant-velocity hold): substituting identity would inject a fake
     full stop — a high-frequency step in the trajectory — and penalize
     the stability score for a metrology failure rather than real motion.
+
+    The hold means a wholly untrackable clip (degenerate/featureless
+    output) yields held transforms and would score as perfectly stable;
+    ``return_tracked_fraction=True`` additionally returns the fraction
+    of frame pairs that actually tracked so callers can distinguish
+    "stable" from "unmeasurable" (``stability_report`` exposes it).
     """
     out: List[np.ndarray] = []
+    tracked = 0
     last = np.eye(2, 3, dtype=np.float32)
     for i in range(len(frames) - 1):
         m = _track_affine(frames[i], frames[i + 1])
         if m is not None:
             last = m
+            tracked += 1
         out.append(last)
+    if return_tracked_fraction:
+        return out, (tracked / len(out) if out else 0.0)
     return out
 
 
-def stability_score(frames: np.ndarray, band: Tuple[int, int] = (1, 6)) -> float:
+def stability_score(
+    frames: np.ndarray,
+    band: Tuple[int, int] = (1, 6),
+    transforms: Optional[List[np.ndarray]] = None,
+) -> float:
     """Low-frequency energy ratio of the motion trajectories.
 
     ``band`` is the half-open rfft-bin range counted as "low frequency"
@@ -126,8 +142,11 @@ def stability_score(frames: np.ndarray, band: Tuple[int, int] = (1, 6)) -> float
     across equal clip lengths.  For protocol-faithful absolute numbers
     use clips of >= 200 frames (where the band is <= 5% of the
     spectrum), as the round-3 long-clip re-scoring does (README).
+
+    ``transforms`` accepts precomputed ``interframe_transforms(frames)``
+    so a report can track each clip once.
     """
-    ms = interframe_transforms(frames)
+    ms = transforms if transforms is not None else interframe_transforms(frames)
     if not ms:
         return 1.0
     # accumulate translation + rotation paths
@@ -146,7 +165,11 @@ def stability_score(frames: np.ndarray, band: Tuple[int, int] = (1, 6)) -> float
     return float(np.mean([ratio(tx), ratio(ty), ratio(rot)]))
 
 
-def jitter_rms_px(frames: np.ndarray, smooth_frames: int = 9) -> float:
+def jitter_rms_px(
+    frames: np.ndarray,
+    smooth_frames: int = 9,
+    transforms: Optional[List[np.ndarray]] = None,
+) -> float:
     """RMS residual translation (px) after moving-average path smoothing.
 
     A protocol-independent complement to ``stability_score``: the
@@ -159,7 +182,7 @@ def jitter_rms_px(frames: np.ndarray, smooth_frames: int = 9) -> float:
     independent of clip length or pan rate.  Lower is better; a GT
     stable clip sits near the tracker noise floor (<~1 px).
     """
-    ms = interframe_transforms(frames)
+    ms = transforms if transforms is not None else interframe_transforms(frames)
     if not ms:
         return 0.0
     k = max(3, int(smooth_frames) | 1)  # odd window
@@ -168,15 +191,25 @@ def jitter_rms_px(frames: np.ndarray, smooth_frames: int = 9) -> float:
         np.cumsum([m[0, 2] for m in ms]),
         np.cumsum([m[1, 2] for m in ms]),
     ):
-        if len(path) < k:
-            vals.append(np.var(path))
+        # on clips shorter than the window, shrink it to the largest odd
+        # width that fits (>= 3) so the semantics stay "residual from a
+        # local moving average" — the old raw-variance fallback charged a
+        # pan ramp entirely to jitter, the exact trend bias the
+        # interior-only branch exists to avoid
+        k_eff = min(k, len(path) if len(path) % 2 else len(path) - 1)
+        if k_eff < 3:
+            # 1-2 samples cannot separate trend from jitter; report the
+            # tracker floor rather than a trend-contaminated variance
+            vals.append(0.0)
             continue
         # interior-only residual ('valid' convolution): edge padding
         # would bias the smooth path by ~slope*k/4 at the clip ends,
         # charging a steep pan ramp with phantom jitter (measured:
         # a 6 px/frame GT pan read a constant 1.23 px floor)
-        smooth = np.convolve(path, np.ones(k) / k, mode="valid")
-        vals.append(np.mean((path[k // 2 : k // 2 + len(smooth)] - smooth) ** 2))
+        smooth = np.convolve(path, np.ones(k_eff) / k_eff, mode="valid")
+        vals.append(
+            np.mean((path[k_eff // 2 : k_eff // 2 + len(smooth)] - smooth) ** 2)
+        )
     return float(np.sqrt(np.mean(vals)))
 
 
@@ -248,14 +281,30 @@ def ssim(pred: np.ndarray, target: np.ndarray) -> float:
 def stability_report(
     stabilized: np.ndarray, original: Optional[np.ndarray] = None
 ) -> Dict[str, float]:
-    """Full metric report; cropping/distortion require the original."""
+    """Full metric report; cropping/distortion require the original.
+
+    ``tracked_pair_fraction`` reports how many consecutive-frame pairs
+    of the stabilized clip actually tracked; near 0 means the stability
+    numbers describe the constant-velocity hold, not the video (a
+    degenerate all-black output would otherwise read as perfectly
+    stable).  Treat scores with a fraction below ~0.5 as unmeasured.
+    """
+    ms, tracked_frac = interframe_transforms(
+        stabilized, return_tracked_fraction=True
+    )
     report = {
-        "stability_score": stability_score(stabilized),
-        "jitter_rms_px": jitter_rms_px(stabilized),
+        "stability_score": stability_score(stabilized, transforms=ms),
+        "jitter_rms_px": jitter_rms_px(stabilized, transforms=ms),
+        "tracked_pair_fraction": float(tracked_frac),
     }
     if original is not None:
-        report["original_stability_score"] = stability_score(original)
-        report["original_jitter_rms_px"] = jitter_rms_px(original)
+        ms_o = interframe_transforms(original)
+        report["original_stability_score"] = stability_score(
+            original, transforms=ms_o
+        )
+        report["original_jitter_rms_px"] = jitter_rms_px(
+            original, transforms=ms_o
+        )
         report.update(
             cropping_ratio_and_distortion(original, stabilized)
         )

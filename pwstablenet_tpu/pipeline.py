@@ -343,17 +343,7 @@ class Stabilizer:
         return stabilized, flow, pad
 
     def _pallas_ok(self, frames_shape) -> bool:
-        if jax.default_backend() != "tpu":
-            return False
-        from pwstablenet_tpu.kernels.grid_sample_pallas import (
-            pallas_supported_padded,
-        )
-
-        t, h, w, c = frames_shape
-        n = t - (self.model_cfg.temporal_window - 1)
-        # all three torch padding modes dispatch to the fused kernel
-        # (reflection via grid pre-reflection in the padded wrapper)
-        return pallas_supported_padded((n, h, w, c), jnp.float32)
+        return _pallas_ok(self.model_cfg, frames_shape)
 
     def _border_crop(self, frames: np.ndarray) -> np.ndarray:
         frac = self.pipeline_cfg.border_crop_frac
@@ -362,6 +352,26 @@ class Stabilizer:
         t, h, w, c = frames.shape
         dy, dx = int(h * frac), int(w * frac)
         return frames[:, dy : h - dy, dx : w - dx]
+
+
+def _pallas_ok(model_cfg: ModelConfig, frames_shape) -> bool:
+    """Whether the fused Pallas warp handles this batch geometry.
+
+    Module-level (not a ``Stabilizer`` method) so pure warp replays like
+    ``apply_warp_fields`` can ask without building a Stabilizer — whose
+    construction jit-inits full generator params just to have some.
+    """
+    if jax.default_backend() != "tpu":
+        return False
+    from pwstablenet_tpu.kernels.grid_sample_pallas import (
+        pallas_supported_padded,
+    )
+
+    t, h, w, c = frames_shape
+    n = t - (model_cfg.temporal_window - 1)
+    # all three torch padding modes dispatch to the fused kernel
+    # (reflection via grid pre-reflection in the padded wrapper)
+    return pallas_supported_padded((n, h, w, c), jnp.float32)
 
 
 def _limit_frames(chunks: Iterator[np.ndarray], limit: int):
@@ -418,7 +428,6 @@ def apply_warp_fields(
             f"({flows.shape[0]}) must cover the same time steps"
         )
     cfg = model_cfg or ModelConfig()
-    helper = Stabilizer(cfg, PipelineConfig(batch_windows=batch_frames))
     n = max(int(batch_frames), 1)
     outs = []
     for i in range(0, frames.shape[0], n):
@@ -428,8 +437,8 @@ def apply_warp_fields(
         if pad:
             f = np.concatenate([f, np.repeat(f[-1:], pad, axis=0)])
             fl = np.concatenate([fl, np.repeat(fl[-1:], pad, axis=0)])
-        use_pallas = helper._pallas_ok(
-            (f.shape[0] + cfg.temporal_window - 1,) + f.shape[1:]
+        use_pallas = _pallas_ok(
+            cfg, (f.shape[0] + cfg.temporal_window - 1,) + f.shape[1:]
         )
         out = warp_image(
             jnp.asarray(f),

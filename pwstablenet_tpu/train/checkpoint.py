@@ -147,14 +147,33 @@ def _checkpoint_has_ema(mgr: ocp.CheckpointManager, step: int) -> bool:
     try:
         with open(meta_path) as f:
             tree_meta = json.load(f)["tree_metadata"]
+        # _METADATA is orbax-private: before trusting the probe, require
+        # the layout we understand to hold for EVERY entry (key_metadata
+        # = list of {"key": ...}, value_metadata carries "value_type")
+        # and for at least one non-g_ema entry to exist (a train-state
+        # tree always has g_params/step/etc).  A future orbax that still
+        # parses as JSON but moved the semantics falls through to the
+        # full-restore fallback instead of mis-answering silently.
+        probed = None
+        saw_other = False
         for entry in tree_meta.values():
             keys = [k["key"] for k in entry["key_metadata"]]
+            vtype = entry["value_metadata"]["value_type"]
+            if not isinstance(vtype, str):
+                raise ValueError("unexpected _METADATA value_type")
             if keys and keys[0] == "g_ema":
-                # a bare ('g_ema',) None/empty leaf means no EMA tracked
-                return entry["value_metadata"]["value_type"] not in (
-                    "None", "Dict", "dict",
-                ) or len(keys) > 1
-        return False
+                if probed is None:
+                    # a bare ('g_ema',) None/empty leaf means no EMA
+                    probed = vtype not in (
+                        "None", "Dict", "dict",
+                    ) or len(keys) > 1
+            elif keys:
+                saw_other = True
+        if not saw_other:
+            raise ValueError(
+                "_METADATA lists no non-g_ema entries; layout not trusted"
+            )
+        return bool(probed)
     except Exception:
         pass
     try:

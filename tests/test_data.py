@@ -109,6 +109,7 @@ def test_stability_report_keys():
     assert set(rep) == {
         "stability_score",
         "jitter_rms_px",
+        "tracked_pair_fraction",
         "original_stability_score",
         "original_jitter_rms_px",
         "cropping_ratio",
@@ -118,6 +119,34 @@ def test_stability_report_keys():
     assert 0 < rep["distortion_value"] <= 1.001
     # GT-stable clip jitters less than the shaky one
     assert rep["jitter_rms_px"] < rep["original_jitter_rms_px"]
+    # a textured synthetic clip tracks every pair
+    assert rep["tracked_pair_fraction"] == 1.0
+
+
+def test_untrackable_clip_reports_zero_tracked_fraction():
+    """A degenerate (featureless) output scores 'perfectly stable' under
+    the constant-velocity hold; tracked_pair_fraction is the signal that
+    the measurement failed rather than the video being stable (advisor
+    finding, round 3)."""
+    blank = np.zeros((6, 96, 128, 3), dtype=np.float32)
+    rep = stability_report(blank)
+    assert rep["tracked_pair_fraction"] == 0.0
+
+
+def test_jitter_rms_px_short_clip_ignores_pan_trend():
+    """On clips shorter than the smoothing window the window shrinks
+    instead of falling back to raw variance — a pure pan ramp on a
+    6-frame clip must not be charged as jitter (advisor finding,
+    round 3: np.var(path) counted the whole ramp)."""
+    from pwstablenet_tpu.data.synthetic import synthetic_pair_clip
+    from pwstablenet_tpu.eval.metrics import jitter_rms_px
+
+    stable, _ = synthetic_pair_clip(2, 96, 128, seed=8, pan_px=0.0)
+    base = stable[0]
+    ramp = np.stack(
+        [np.roll(base, shift=(0, 4 * i), axis=(0, 1)) for i in range(6)]
+    )
+    assert jitter_rms_px(ramp) < 1.0
 
 
 def test_interframe_transform_recovers_known_shift():
