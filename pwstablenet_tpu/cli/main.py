@@ -41,6 +41,10 @@ def _add_model_args(p: argparse.ArgumentParser):
                    default=None)
     p.add_argument("--interstage", choices=["features", "warped", "both"],
                    default=None)
+    p.add_argument("--disc-layers", dest="disc_num_layers", type=int,
+                   default=None,
+                   help="PatchGAN stride-2 layers (default 3 = 70x70 "
+                        "receptive field; lower for tiny resolutions)")
     p.add_argument("--model-height", type=int, default=None)
     p.add_argument("--model-width", type=int, default=None,
                    help="working resolution (params are fully "
@@ -60,7 +64,7 @@ def _model_cfg(args):
     for field in (
         "temporal_window", "temporal_center", "num_stages", "num_levels",
         "base_features", "max_features", "norm", "interstage",
-        "use_dropout",
+        "disc_num_layers", "use_dropout",
     ):
         v = getattr(args, field, None)
         if v is not None:
@@ -158,6 +162,7 @@ def cmd_train(args) -> int:
         lr_d=args.lr,
         gan_loss=args.gan_loss,
         temporal_mode=args.temporal_mode,
+        pixel_loss_mode=args.pixel_loss_mode,
         grad_accum_steps=args.grad_accum,
         checkpoint_dir=args.checkpoint_dir,
         log_every=args.log_every,
@@ -415,6 +420,12 @@ def build_parser() -> argparse.ArgumentParser:
                    default="compensated",
                    help="C13 temporal loss: raw |out_t-out_t+1| or "
                         "GT-motion-compensated |Δout-Δgt| (pans free)")
+    t.add_argument("--pixel-loss-mode",
+                   choices=["l1", "mean_matched", "gradient"],
+                   default="l1",
+                   help="C11 pixel term: plain L1, brightness-gain-"
+                        "matched L1 (exposure-step robust), or "
+                        "finite-difference gradient L1")
     t.add_argument("--grad-accum", type=int, default=1,
                    help="micro-batch gradient accumulation steps")
     t.add_argument("--log-every", type=int, default=50)

@@ -137,6 +137,13 @@ class TrainConfig:
 
     gan_loss: str = "lsgan"           # lsgan | vanilla | hinge
 
+    # pixel-term form (C11): "l1" is the reference loss; "mean_matched"
+    # divides out a per-sample/channel brightness gain before the L1
+    # (robust to auto-exposure steps, which otherwise read as geometric
+    # error — see losses.pixel_loss_photometric); "gradient" compares
+    # spatial finite differences (exact additive-offset invariance).
+    pixel_loss_mode: str = "l1"
+
     # temporal-consistency form (C13): "raw" penalizes |out_t - out_{t+1}|
     # directly (reference behavior; fights legitimate pans);
     # "compensated" penalizes |Δout - Δgt| — the GT stable-to-stable

@@ -21,6 +21,21 @@ class PatchDiscriminator(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         cfg = self.cfg
+        # The final stride-1 4x4 pad-1 convs each shrink the map by 1;
+        # too many stride-2 layers for the input resolution leaves an
+        # EMPTY score map whose mean is NaN — silent training poison
+        # (found driving the CLI at 16x16 with the default 3-layer
+        # disc), so fail loudly at trace time instead.
+        s = min(x.shape[1], x.shape[2])
+        for _ in range(cfg.disc_num_layers):
+            s = (s - 2) // 2 + 1
+        if s - 2 < 1:
+            raise ValueError(
+                f"disc_num_layers={cfg.disc_num_layers} is too deep for "
+                f"{x.shape[1]}x{x.shape[2]} inputs: the PatchGAN score "
+                "map would be empty (NaN loss). Reduce disc_num_layers "
+                "(CLI: --disc-layers) or raise the resolution."
+            )
         dtype = jnp.dtype(cfg.compute_dtype)
         x = x.astype(dtype)
         f = cfg.disc_base_features

@@ -72,6 +72,50 @@ def pixel_loss(pred: Array, target: Array) -> Array:
     return jnp.mean(jnp.abs(pred.astype(jnp.float32) - target.astype(jnp.float32)))
 
 
+def pixel_loss_photometric(
+    pred: Array, target: Array, mode: str = "l1"
+) -> Array:
+    """C11 pixel loss with optional photometric invariance.
+
+    Motivation (round-3 failure-mode sweep): under strong auto-exposure
+    steps the unstable frame and the GT stable frame differ by a sudden
+    multiplicative gain the warp cannot (and should not) reproduce — a
+    plain L1 then rewards geometric distortion that happens to darken /
+    brighten regions toward the target (measured: distortion 0.67 at 4x
+    exposure steps).  Modes:
+
+    - ``l1``: the plain reference loss.
+    - ``mean_matched``: per-sample, per-channel multiplicative gain
+      match in [0, 1] intensity space before the L1.  The gain is the
+      closed-form brightness ratio (stop-gradiented so the generator
+      cannot chase it); exposure steps cancel to first order while
+      geometric error is fully penalized.
+    - ``gradient``: L1 on spatial finite differences — exact invariance
+      to any per-frame additive offset and insensitivity to smooth
+      gain, at the cost of weighing texture edges over flat regions.
+    """
+    p = pred.astype(jnp.float32)
+    t = target.astype(jnp.float32)
+    if mode == "l1":
+        return jnp.mean(jnp.abs(p - t))
+    if mode == "mean_matched":
+        # [-1, 1] -> [0, 1] intensity, where exposure acts as a gain
+        p01 = (p + 1.0) * 0.5
+        t01 = (t + 1.0) * 0.5
+        axes = tuple(range(1, p01.ndim - 1))  # per sample, per channel
+        gain = (
+            jnp.mean(t01, axis=axes, keepdims=True)
+            / (jnp.mean(p01, axis=axes, keepdims=True) + 1e-4)
+        )
+        gain = jax.lax.stop_gradient(jnp.clip(gain, 0.5, 2.0))
+        return jnp.mean(jnp.abs(p01 * gain - t01)) * 2.0  # back to [-1,1] scale
+    if mode == "gradient":
+        dy = (p[:, 1:] - p[:, :-1]) - (t[:, 1:] - t[:, :-1])
+        dx = (p[:, :, 1:] - p[:, :, :-1]) - (t[:, :, 1:] - t[:, :, :-1])
+        return jnp.mean(jnp.abs(dy)) + jnp.mean(jnp.abs(dx))
+    raise ValueError(f"unknown pixel_loss_mode {mode!r}")
+
+
 def feature_loss(
     feats_pred: Sequence[Array], feats_target: Sequence[Array]
 ) -> Array:

@@ -65,6 +65,11 @@ def make_train_step(
             f"unknown temporal_mode {train_cfg.temporal_mode!r} "
             "(raw | compensated)"
         )
+    if train_cfg.pixel_loss_mode not in ("l1", "mean_matched", "gradient"):
+        raise ValueError(
+            f"unknown pixel_loss_mode {train_cfg.pixel_loss_mode!r} "
+            "(l1 | mean_matched | gradient)"
+        )
     g_tx, d_tx = make_optimizers(train_cfg)
 
     def warp_stages(flows, center):
@@ -150,7 +155,9 @@ def make_train_step(
                     d_params, jnp.concatenate([center, w_s], axis=-1)
                 )
                 adv = losses.gan_loss_g(fake_logits, train_cfg.gan_loss)
-                pix = losses.pixel_loss(w_s, stable)
+                pix = losses.pixel_loss_photometric(
+                    w_s, stable, train_cfg.pixel_loss_mode
+                )
                 feats_pred = feat.apply(state.feat_params, w_s)
                 per = losses.feature_loss(feats_pred, feats_target)
                 tmp = _temporal_term(train_cfg, w_s, stable)
@@ -317,7 +324,9 @@ def _make_accum_train_step(
                     adv = losses.gan_loss_g(
                         fake_logits, train_cfg.gan_loss
                     )
-                    pix = losses.pixel_loss(w_s, stable)
+                    pix = losses.pixel_loss_photometric(
+                        w_s, stable, train_cfg.pixel_loss_mode
+                    )
                     per = losses.feature_loss(
                         feat.apply(state.feat_params, w_s), feats_target
                     )

@@ -40,6 +40,7 @@ def test_train_synthetic_smoke(tmp_path, capsys):
         "--num-levels", "3", "--base-features", "8",
         "--temporal-window", "3", "--model-height", "16",
         "--model-width", "16", "--log-every", "1",
+        "--disc-layers", "1",
         "--checkpoint-every", "2",
         "--checkpoint-dir", str(tmp_path / "ckpt"),
     ])
@@ -61,6 +62,7 @@ def test_train_use_dropout_flag(tmp_path, capsys):
         "--num-levels", "3", "--base-features", "8",
         "--temporal-window", "3", "--model-height", "16",
         "--model-width", "16", "--log-every", "1", "--use-dropout",
+        "--disc-layers", "1",
         "--checkpoint-every", "1",
         "--checkpoint-dir", str(tmp_path / "ckpt"),
     ])
@@ -83,6 +85,7 @@ def test_train_ema_export_then_stabilize(tmp_path, capsys):
         "--num-levels", "3", "--base-features", "8",
         "--temporal-window", "3", "--model-height", "16",
         "--model-width", "16", "--log-every", "1",
+        "--disc-layers", "1",
         "--checkpoint-every", "2",
         "--checkpoint-dir", str(tmp_path / "ckpt"),
         "--ema-decay", "0.9", "--tb-log-dir", tb,
@@ -170,6 +173,7 @@ def test_train_mesh_devices_cap(tmp_path, capsys):
         "--num-levels", "3", "--base-features", "8",
         "--temporal-window", "3", "--model-height", "16",
         "--model-width", "16", "--log-every", "1",
+        "--disc-layers", "1",
         "--checkpoint-every", "1",
         "--checkpoint-dir", str(tmp_path / "ckpt"),
         "--mesh-devices", "2",
@@ -219,6 +223,7 @@ def test_make_data_rich_and_train_rich_smoke(tmp_path, capsys):
         "--batch-size", "2", "--num-levels", "3", "--base-features", "8",
         "--temporal-window", "3", "--model-height", "16",
         "--model-width", "16", "--log-every", "1",
+        "--disc-layers", "1",
         "--temporal-mode", "raw",
         "--checkpoint-every", "5",
         "--checkpoint-dir", str(tmp_path / "ckpt"),

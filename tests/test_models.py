@@ -149,3 +149,16 @@ def test_config_validation():
         ModelConfig(temporal_window=4)
     with pytest.raises(ValueError, match="divisible"):
         ModelConfig(model_resolution=(100, 100))
+    # PatchGAN too deep for the input -> empty score map -> NaN loss;
+    # must fail loudly at trace time, not poison training silently
+    cfg16 = ModelConfig(model_resolution=(16, 16), num_levels=3)
+    from pwstablenet_tpu.models.discriminator import PatchDiscriminator
+
+    disc = PatchDiscriminator(cfg16)
+    with pytest.raises(ValueError, match="disc_num_layers"):
+        disc.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 6)))
+    # the same input with a shallow disc is fine (dryrun config)
+    shallow = PatchDiscriminator(
+        dataclasses.replace(cfg16, disc_num_layers=1)
+    )
+    shallow.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 6)))

@@ -198,6 +198,82 @@ def test_dropout_variant_trains():
     assert diff > 0.0, "dropout produced identical outputs"
 
 
+def test_pixel_loss_photometric_properties():
+    """C11 photometric modes (exposure-step robustness, VERDICT r3
+    item 4): mean_matched cancels a pure per-frame gain, gradient
+    cancels a pure additive offset; both still penalize geometry."""
+    from pwstablenet_tpu.train import losses
+
+    rng = np.random.default_rng(0)
+    t = jnp.asarray(
+        rng.uniform(-0.8, 0.8, (2, 16, 16, 3)).astype(np.float32)
+    )
+    # "l1" mode is exactly the reference loss
+    p = t + 0.1 * jnp.asarray(
+        rng.standard_normal((2, 16, 16, 3)).astype(np.float32)
+    )
+    np.testing.assert_allclose(
+        float(losses.pixel_loss_photometric(p, t, "l1")),
+        float(losses.pixel_loss(p, t)),
+        rtol=1e-6,
+    )
+
+    # exposure step: prediction is the target under a 1.3x intensity
+    # gain (applied in [0,1] space, the physical model of exposure)
+    t01 = (t + 1.0) * 0.5
+    p_gain = jnp.clip(t01 * 1.3, 0.0, 1.0) * 2.0 - 1.0
+    l1 = float(losses.pixel_loss_photometric(p_gain, t, "l1"))
+    mm = float(losses.pixel_loss_photometric(p_gain, t, "mean_matched"))
+    assert mm < 0.15 * l1, (mm, l1)
+
+    # additive offset: gradient mode is exactly invariant
+    p_off = t + 0.2
+    grad = float(losses.pixel_loss_photometric(p_off, t, "gradient"))
+    assert grad < 1e-6
+    assert float(losses.pixel_loss_photometric(p_off, t, "l1")) > 0.19
+
+    # geometric error is NOT forgiven by either mode
+    p_shift = jnp.roll(t, 2, axis=2)
+    assert float(
+        losses.pixel_loss_photometric(p_shift, t, "mean_matched")
+    ) > 0.1
+    assert float(
+        losses.pixel_loss_photometric(p_shift, t, "gradient")
+    ) > 0.1
+
+
+@_pytest.mark.parametrize("mode", ["mean_matched", "gradient"])
+def test_pixel_loss_mode_trains(mode):
+    cfg = dataclasses.replace(TCFG, pixel_loss_mode=mode)
+    state, (gen, disc, feat) = create_train_state(
+        TINY, cfg, jax.random.PRNGKey(2)
+    )
+    step = jax.jit(make_train_step(TINY, cfg, gen, disc, feat))
+    batch = jax.tree_util.tree_map(
+        jnp.asarray, make_train_batch(2, 32, 32, TINY.temporal_window, seed=6)
+    )
+    new_state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["pixel"]))
+    assert np.isfinite(float(metrics["loss_g"]))
+    changed = any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.g_params),
+            jax.tree_util.tree_leaves(new_state.g_params),
+        )
+    )
+    assert changed
+
+
+def test_pixel_loss_mode_unknown_raises():
+    cfg = dataclasses.replace(TCFG, pixel_loss_mode="nope")
+    state, (gen, disc, feat) = create_train_state(
+        TINY, cfg, jax.random.PRNGKey(2)
+    )
+    with pytest.raises(ValueError, match="pixel_loss_mode"):
+        make_train_step(TINY, cfg, gen, disc, feat)
+
+
 def test_temporal_mode_unknown_raises():
     cfg = dataclasses.replace(TCFG, temporal_mode="nope")
     state, (gen, disc, feat) = create_train_state(
