@@ -54,6 +54,7 @@ stable, unstable = synthetic_pair_clip(32, 320, 448, seed=999,
 clip_u8 = np.clip((unstable + 1) * 127.5, 0, 255).round().astype(np.uint8)
 state = train(
     model_cfg, train_cfg, batch_iterator(ds, train_cfg.batch_size, seed=SEED),
+    resume=True,  # continue own checkpoints after a timeout/crash retry
     max_steps=STEPS,
     eval_fn=make_clip_eval_hook(model_cfg, clip_u8, stable_clip=stable,
                                 batch_windows=8),
