@@ -60,8 +60,9 @@ PYEOF
   done
 }
 
-# 1. Pallas-conv phase-split probe (VERDICT item 7) — minutes
+# 1. conv reformulation probes (VERDICT item 7) — minutes
 run convprobe 900 scratch/r7_conv_probe.py
+run deconvprobe 1200 scratch/r7_deconv_probe.py
 
 # 2. full bench incl. new default-config DP step (items 1+8)
 run bench 3600 bench.py
