@@ -41,6 +41,10 @@ def _add_model_args(p: argparse.ArgumentParser):
                    default=None)
     p.add_argument("--interstage", choices=["features", "warped", "both"],
                    default=None)
+    p.add_argument("--decoder-impl", dest="decoder_impl",
+                   choices=["deconv", "phase_conv"], default=None,
+                   help="decoder 2x upsampler lowering (phase_conv = "
+                        "same operator as one dense stride-1 conv)")
     p.add_argument("--disc-layers", dest="disc_num_layers", type=int,
                    default=None,
                    help="PatchGAN stride-2 layers (default 3 = 70x70 "
@@ -64,7 +68,7 @@ def _model_cfg(args):
     for field in (
         "temporal_window", "temporal_center", "num_stages", "num_levels",
         "base_features", "max_features", "norm", "interstage",
-        "disc_num_layers", "use_dropout",
+        "decoder_impl", "disc_num_layers", "use_dropout",
     ):
         v = getattr(args, field, None)
         if v is not None:

@@ -47,6 +47,14 @@ class ModelConfig:
     num_stages: int = 2
     interstage: str = "both"          # features | warped | both
 
+    # Decoder 2x-upsampler lowering. "deconv" = flax ConvTranspose
+    # (reference behavior); "phase_conv" = the same operator computed
+    # as one dense stride-1 2x2 conv + shifted-slice interleave
+    # (models/blocks.py:PhaseConvTranspose2x — equal flops, identical
+    # param tree, float-tolerance-identical outputs; exists to bypass
+    # the input-dilation lowering's kernel-layout copies).
+    decoder_impl: str = "deconv"      # deconv | phase_conv
+
     # --- warp-map head (SURVEY.md C7) ---
     # Output is a *displacement* field in normalized grid units
     # ([-1, 1] spans the frame; see ops/warp.py).  The final conv is
@@ -86,6 +94,11 @@ class ModelConfig:
             raise ValueError(
                 f"temporal_center must be in [0, {self.temporal_window}) "
                 f"or None, got {self.temporal_center}"
+            )
+        if self.decoder_impl not in ("deconv", "phase_conv"):
+            raise ValueError(
+                f"unknown decoder_impl {self.decoder_impl!r} "
+                "(deconv | phase_conv)"
             )
         h, w = self.model_resolution
         if h % (2**self.num_levels) or w % (2**self.num_levels):

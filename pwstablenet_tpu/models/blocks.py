@@ -113,6 +113,85 @@ class DownBlock(nn.Module):
         return nn.leaky_relu(x, negative_slope=self.leaky_slope)
 
 
+class PhaseConvTranspose2x(nn.Module):
+    """Stride-2 4x4 transposed conv as ONE dense stride-1 2x2 conv.
+
+    Mathematically identical to ``nn.ConvTranspose(k=(4,4), s=(2,2),
+    SAME)``: each output phase (dy, dx) of the 2x upsample reads a
+    one-pixel-shifted 2x2 input window with the disjoint kernel-tap
+    subset ``W[2u+dy, 2v+dx]`` (impulse-derived mapping; parity probe
+    in ``scratch/r7_deconv_probe.py``).  All four phases therefore come
+    out of a single stride-1 2x2 conv over the (1,1)-padded input with
+    ``4*features`` output channels; interleaving its shifted slices is
+    the 2x upsample.  Equal flop count, but XLA sees a plain dense conv
+    forward AND plain-conv gradients instead of the input-dilation
+    lowering whose kernel-layout copies are the train step's largest
+    non-math cost (~8.3 ms/step measured, round 3).
+
+    The parameter tree ('kernel' (4,4,ci,co), 'bias' (co,)) is
+    bit-compatible with ``nn.ConvTranspose``, so checkpoints and the
+    torch importer work unchanged; outputs agree to float tolerance
+    (taps accumulate in a different order).
+    """
+
+    features: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        ci = x.shape[-1]
+        co = self.features
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (4, 4, ci, co),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (co,), jnp.float32
+        )
+        dt = self.dtype
+        # (4,4,ci,co) -> (u,dy,v,dx,ci,co) -> 2x2 conv kernel with
+        # phase-major (dy,dx,co) output channels
+        w2 = (
+            kernel.astype(dt)
+            .reshape(2, 2, 2, 2, ci, co)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(2, 2, ci, 4 * co)
+        )
+        n, h, w, _ = x.shape
+        y = jax.lax.conv_general_dilated(
+            x.astype(dt),
+            w2,
+            (1, 1),
+            ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = y.reshape(n, h + 1, w + 1, 2, 2, co)
+        rows = []
+        for dy in (0, 1):
+            cols = [y[:, dy:h + dy, dx:w + dx, dy, dx] for dx in (0, 1)]
+            rows.append(jnp.stack(cols, axis=3))   # (n, h, w, 2, co)
+        y = jnp.stack(rows, axis=2)                # (n, h, 2, w, 2, co)
+        return y.reshape(n, 2 * h, 2 * w, co) + bias.astype(dt)
+
+
+def make_deconv_2x(features: int, dtype: Dtype, name: str, impl: str):
+    """The decoder's 2x upsampler: reference lowering or phase form."""
+    if impl == "deconv":
+        return nn.ConvTranspose(
+            features,
+            kernel_size=(4, 4),
+            strides=(2, 2),
+            padding="SAME",  # flax ConvTranspose: SAME == exact 2x up
+            dtype=dtype,
+            name=name,
+        )
+    if impl == "phase_conv":
+        return PhaseConvTranspose2x(features, dtype=dtype, name=name)
+    raise ValueError(f"unknown decoder_impl {impl!r} (deconv | phase_conv)")
+
+
 class UpBlock(nn.Module):
     """Stride-2 4x4 transpose conv -> norm -> ReLU (+ optional dropout)."""
 
@@ -121,17 +200,11 @@ class UpBlock(nn.Module):
     use_norm: bool = True
     dropout_rate: float = 0.0
     dtype: Dtype = jnp.bfloat16
+    impl: str = "deconv"
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
-        x = nn.ConvTranspose(
-            self.features,
-            kernel_size=(4, 4),
-            strides=(2, 2),
-            padding="SAME",  # flax ConvTranspose: SAME == exact 2x up
-            dtype=self.dtype,
-            name="deconv",
-        )(x)
+        x = make_deconv_2x(self.features, self.dtype, "deconv", self.impl)(x)
         if self.use_norm:
             x = make_norm(self.norm, self.dtype, name="norm")(x)
         if self.dropout_rate > 0:

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from pwstablenet_tpu.config import ModelConfig
-from pwstablenet_tpu.models.blocks import DownBlock, UpBlock
+from pwstablenet_tpu.models.blocks import DownBlock, UpBlock, make_deconv_2x
 
 
 class StageUNet(nn.Module):
@@ -86,6 +86,7 @@ class StageUNet(nn.Module):
                     else 0.0
                 ),
                 dtype=dtype,
+                impl=cfg.decoder_impl,
                 name=f"up{level}",
             )(x, deterministic=deterministic)
             decoder_feats.append(x)
@@ -95,13 +96,8 @@ class StageUNet(nn.Module):
         if extra_skips is not None and cfg.num_levels - 1 <= len(extra_skips):
             inputs.append(extra_skips[cfg.num_levels - 2].astype(dtype))
         x = jnp.concatenate(inputs, axis=-1)
-        x = nn.ConvTranspose(
-            cfg.base_features,
-            kernel_size=(4, 4),
-            strides=(2, 2),
-            padding="SAME",  # flax ConvTranspose: SAME == exact 2x up
-            dtype=dtype,
-            name="head_up",
+        x = make_deconv_2x(
+            cfg.base_features, dtype, "head_up", cfg.decoder_impl
         )(x)
         x = nn.relu(x)
         if extra_skips is not None and len(extra_skips) >= cfg.num_levels:

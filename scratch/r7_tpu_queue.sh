@@ -63,6 +63,7 @@ PYEOF
 # 1. conv reformulation probes (VERDICT item 7) — minutes
 run convprobe 900 scratch/r7_conv_probe.py
 run deconvprobe 1200 scratch/r7_deconv_probe.py
+run phasestep 1800 scratch/r7_phase_step_probe.py
 
 # 2. full bench incl. new default-config DP step (items 1+8)
 run bench 3600 bench.py

@@ -162,3 +162,66 @@ def test_config_validation():
         dataclasses.replace(cfg16, disc_num_layers=1)
     )
     shallow.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 6)))
+
+
+def test_phase_conv_decoder_matches_deconv():
+    """decoder_impl=phase_conv is the SAME operator as the flax
+    ConvTranspose lowering: identical param tree, float-tolerance-
+    identical generator outputs and gradients (the phase form exists
+    to bypass the input-dilation lowering's kernel-layout copies —
+    scratch/r7_deconv_probe.py has the tap-mapping derivation)."""
+    import dataclasses
+
+    cfg_d = SMALL
+    cfg_p = dataclasses.replace(SMALL, decoder_impl="phase_conv")
+    x = _stack(cfg_d)
+    gen_d = CascadedGenerator(cfg_d)
+    gen_p = CascadedGenerator(cfg_p)
+    params = gen_d.init(jax.random.PRNGKey(3), x)
+
+    # identical param trees: the phase module reuses kernel/bias as-is
+    tree_p = jax.tree_util.tree_structure(
+        gen_p.init(jax.random.PRNGKey(3), x)
+    )
+    assert jax.tree_util.tree_structure(params) == tree_p
+
+    # zero-init heads make a fresh init's flows all-zero in BOTH impls;
+    # randomize params so the comparison exercises real activations
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    rng = np.random.default_rng(0)
+    leaves = [
+        jnp.asarray(rng.standard_normal(l.shape).astype(np.float32)) * 0.05
+        for l in leaves
+    ]
+    params = jax.tree_util.tree_unflatten(treedef, leaves)
+
+    flows_d, warped_d = gen_d.apply(params, x)
+    flows_p, warped_p = gen_p.apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(flows_d[-1]), np.asarray(flows_p[-1]),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(warped_d), np.asarray(warped_p), rtol=1e-4, atol=1e-5
+    )
+
+    # gradient parity (plain-conv grads vs dilated-conv grads)
+    def loss(p, gen):
+        flows, warped = gen.apply(p, x)
+        return jnp.mean(warped.astype(jnp.float32) ** 2) + jnp.mean(
+            flows[-1] ** 2
+        )
+
+    g_d = jax.grad(lambda p: loss(p, gen_d))(params)
+    g_p = jax.grad(lambda p: loss(p, gen_p))(params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_d), jax.tree_util.tree_leaves(g_p)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5
+        )
+
+
+def test_decoder_impl_unknown_raises():
+    with pytest.raises(ValueError, match="decoder_impl"):
+        ModelConfig(decoder_impl="nope")
