@@ -393,7 +393,7 @@ def main() -> int:
     results["train_mesh_devices"] = mesh.size
     log(f"config 4/5 (adversarial train step, DP mesh x{mesh.size}, "
         f"b4x2 256x256 uint8): {dts*1e3:.1f} ms/step "
-        f"= {8/dts:.1f} samples/s/chip (device)")
+        f"= {8/dts/mesh.size:.1f} samples/s/chip (device)")
 
     # train-step MFU (VERDICT r1 item 4): analytic XLA cost model flops
     # of the whole fused D+G module / device time / bf16 peak, plus the
@@ -462,7 +462,8 @@ def main() -> int:
             results["train_step_dp_default_ms"] = dtd * 1e3
             log(f"config 4/5 (FULL default config: dropout+EMA, b8 DP "
                 f"mesh x{mesh_d.size}): {dtd*1e3:.1f} ms/step "
-                f"= {tcfg_d.batch_size*2/dtd:.1f} samples/s/chip")
+                f"= {tcfg_d.batch_size*2/dtd/mesh_d.size:.1f} "
+                f"samples/s/chip")
         except Exception as e:  # noqa: BLE001 — must not kill the bench
             log(f"default-config DP step failed: {e}")
 

@@ -35,7 +35,7 @@ class _VideoCache:
     Thread-safe: a per-video lock serializes capture access so multiple
     decode threads can work on different videos concurrently."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, num_frames: Optional[int] = None):
         import cv2
 
         self._cv2 = cv2
@@ -43,11 +43,17 @@ class _VideoCache:
         self._cap = cv2.VideoCapture(path)
         if not self._cap.isOpened():
             raise FileNotFoundError(path)
-        self.num_frames = int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT))
-        if self.num_frames <= 0:
-            # broken header: fall back to the decode-scan count so the
-            # sampler's range matches what is actually decodable
-            self.num_frames = _probe_frame_count(path)
+        if num_frames is not None and num_frames > 0:
+            # caller already probed this file (the dataset validates every
+            # pair at construction) — reuse it so a broken-header video is
+            # decode-scanned once, not once per open (advisor r4)
+            self.num_frames = num_frames
+        else:
+            self.num_frames = int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT))
+            if self.num_frames <= 0:
+                # broken header: fall back to the decode-scan count so the
+                # sampler's range matches what is actually decodable
+                self.num_frames = _probe_frame_count(path)
         self._pos = 0
         self.lock = threading.Lock()
 
@@ -143,8 +149,13 @@ class DeepStabDataset:
         # with a warning; an empty remainder raises.
         min_frames = self._min_frames_needed()
         self.pairs = []
+        self._frame_counts: Dict[str, int] = {}
         for u_path, s_path in all_pairs:
-            n = min(_probe_frame_count(u_path), _probe_frame_count(s_path))
+            nu = _probe_frame_count(u_path)
+            ns = _probe_frame_count(s_path)
+            self._frame_counts[u_path] = nu
+            self._frame_counts[s_path] = ns
+            n = min(nu, ns)
             if n < min_frames:
                 import sys
 
@@ -177,7 +188,9 @@ class DeepStabDataset:
     def _cache(self, path: str) -> _VideoCache:
         with self._lock:
             if path not in self._caches:
-                self._caches[path] = _VideoCache(path)
+                self._caches[path] = _VideoCache(
+                    path, num_frames=self._frame_counts.get(path)
+                )
             return self._caches[path]
 
     def sample(self, rng: np.random.Generator) -> Dict[str, np.ndarray]:

@@ -181,10 +181,14 @@ def jitter_rms_px(
     moving average measures the shake amplitude directly, in pixels,
     independent of clip length or pan rate.  Lower is better; a GT
     stable clip sits near the tracker noise floor (<~1 px).
+
+    Clips too short to separate trend from jitter (fewer than 3 tracked
+    inter-frame transforms) return ``nan`` — "unmeasured", which is not
+    the same claim as 0.0 ("measured, no jitter").
     """
     ms = transforms if transforms is not None else interframe_transforms(frames)
     if not ms:
-        return 0.0
+        return float("nan")
     k = max(3, int(smooth_frames) | 1)  # odd window
     vals = []
     for path in (
@@ -198,9 +202,9 @@ def jitter_rms_px(
         # interior-only branch exists to avoid
         k_eff = min(k, len(path) if len(path) % 2 else len(path) - 1)
         if k_eff < 3:
-            # 1-2 samples cannot separate trend from jitter; report the
-            # tracker floor rather than a trend-contaminated variance
-            vals.append(0.0)
+            # 1-2 samples cannot separate trend from jitter: the clip is
+            # unmeasured, not jitter-free (advisor r4)
+            vals.append(float("nan"))
             continue
         # interior-only residual ('valid' convolution): edge padding
         # would bias the smooth path by ~slope*k/4 at the clip ends,
