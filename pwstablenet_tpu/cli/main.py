@@ -366,11 +366,14 @@ def cmd_make_data(args) -> int:
         width=args.width,
         seed=args.seed,
         rich=args.rich,
+        curriculum=args.curriculum,
         texture_detail_px=args.texture_detail_px,
     )
     print(json.dumps({
         "root": args.out, "pairs": args.pairs, "frames": args.frames,
-        "height": args.height, "width": args.width, "rich": args.rich,
+        "height": args.height, "width": args.width,
+        "rich": args.rich or args.curriculum,
+        "curriculum": args.curriculum,
         "texture_detail_px": args.texture_detail_px,
     }))
     return 0
@@ -507,6 +510,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="full scene model: perspective shake, parallax "
                         "layers, moving occluders, photometric jitter, "
                         "per-pair motion diversity")
+    d.add_argument("--curriculum", action="store_true",
+                   help="rich scene model with the measured curriculum "
+                        "stressor ranges (shake to 16 px, pan to 2.5, "
+                        "1-4 occluders, exposure steps to 2.0); train "
+                        "on it with --pixel-loss-mode mean_matched — the "
+                        "round-5 2x2 measured plain l1 on exposure-"
+                        "stepped data poisoning warp distortion")
     d.add_argument("--pairs", type=int, default=4)
     d.add_argument("--frames", type=int, default=60)
     d.add_argument("--height", type=int, default=288)

@@ -317,6 +317,7 @@ def write_synthetic_deepstab(
     width: int = 384,
     seed: int = 0,
     rich: bool = False,
+    curriculum: bool = False,
     **clip_kwargs,
 ) -> None:
     """Materialize a tiny synthetic DeepStab-shaped dataset on disk
@@ -326,9 +327,22 @@ def write_synthetic_deepstab(
     parallax layers, moving occluders, photometric jitter — see
     ``data.synthetic.RICH``) with per-pair shake/pan diversity; extra
     kwargs pass through to ``synthetic_pair_clip``.
+
+    ``curriculum=True`` (implies ``rich``) widens the per-pair
+    stressor draws to the measured failure-mode ranges — shake
+    U(3, 16) px, pan U(0.3, 2.5) px/f, 1-4 occluders, exposure steps
+    U(0.5, 2.0).  PAIR IT WITH ``pixel_loss_mode="mean_matched"``:
+    the round-5 2x2 A/B measured a strong interaction — plain L1 on
+    exposure-stepped training data teaches the model to explain
+    brightness with geometry (distortion 0.874 in-distribution, 0.537
+    under exposure steps at the CPU-envelope scale), while
+    mean_matched keeps distortion >= 0.997 on every sweep row.
     """
     from pwstablenet_tpu.data.synthetic import RICH, synthetic_pair_clip
 
+    if curriculum:
+        rich = True
+    user_keys = frozenset(clip_kwargs)  # explicit kwargs beat the draws
     if rich:
         clip_kwargs = {**RICH, **clip_kwargs}
     rng = np.random.default_rng(seed)
@@ -336,7 +350,20 @@ def write_synthetic_deepstab(
     os.makedirs(os.path.join(root, "unstable"), exist_ok=True)
     for i in range(num_pairs):
         kw = dict(clip_kwargs)
-        if rich:
+        if curriculum:
+            # measured curriculum ranges (scratch/r7_gen_curriculum_data
+            # at full scale; round-5 CPU 2x2 validates the recipe).
+            # Draws always consume the stream (rng reproducibility);
+            # RICH baseline values for these keys are superseded.
+            for key, draw in (
+                ("shake_px", float(rng.uniform(3.0, 16.0))),
+                ("pan_px", float(rng.uniform(0.3, 2.5))),
+                ("num_occluders", int(rng.integers(1, 5))),
+                ("exposure_steps", float(rng.uniform(0.5, 2.0))),
+            ):
+                if key not in user_keys:
+                    kw[key] = draw
+        elif rich:
             # per-pair motion diversity (measured round-1 finding: data
             # diversity, not step count, is the quality lever)
             kw.setdefault("shake_px", float(rng.uniform(3.0, 9.0)))

@@ -165,6 +165,39 @@ def test_write_synthetic_deepstab_rich(tmp_path):
     assert s["stable"].dtype == np.uint8
 
 
+def test_write_synthetic_deepstab_curriculum(tmp_path):
+    """--curriculum widens the stressor draws (round-5 measured recipe):
+    loadable dataset, draws actually differ from the rich preset's."""
+    from pwstablenet_tpu.config import DataConfig
+    from pwstablenet_tpu.data.deepstab import (
+        DeepStabDataset,
+        write_synthetic_deepstab,
+    )
+    import cv2
+
+    rich_root = str(tmp_path / "rich")
+    cur_root = str(tmp_path / "cur")
+    kw = dict(num_pairs=2, frames=8, height=64, width=80, seed=3)
+    write_synthetic_deepstab(rich_root, rich=True, **kw)
+    write_synthetic_deepstab(cur_root, curriculum=True, **kw)
+
+    ds = DeepStabDataset(
+        DataConfig(data_root=cur_root, crop_size=(48, 48)), 3)
+    s = ds.sample(np.random.default_rng(0))
+    assert s["stacks"].shape == (2, 48, 48, 9)
+
+    # the widened draws must actually change the rendered clips
+    def frames_of(root):
+        cap = cv2.VideoCapture(f"{root}/unstable/00.avi")
+        ok, img = cap.read()
+        cap.release()
+        assert ok
+        return img
+
+    assert np.abs(frames_of(cur_root).astype(np.int16)
+                  - frames_of(rich_root).astype(np.int16)).max() > 0
+
+
 def test_motion_blur_smears_unstable_view():
     """Shutter streaking lowers the unstable view's high-frequency
     energy; the stable view (no blur applied) is untouched."""
