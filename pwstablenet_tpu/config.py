@@ -142,6 +142,10 @@ class TrainConfig:
 
     # loss weights (SURVEY.md C10-C15); adversarial weight is 1.
     w_pixel: float = 100.0
+    # NB: with the offline default (random-frozen extractor, no VGG
+    # import) the feature term measured a three-way tie against
+    # w_feature=0 at the CPU-envelope scale (README round-5 ablation);
+    # kept non-zero for reference parity with an imported VGG.
     w_feature: float = 10.0
     w_temporal: float = 10.0
     w_warp_reg: float = 1.0
