@@ -13,7 +13,7 @@ the SAME fresh clips at two scales:
 
 Three seeds per scale; mean +- spread per metric.
 
-Usage: r8_score_ms.py <ms_ckpt> <l1_ckpt>
+Usage: r8_score_ms.py <ms_ckpt> <l1_ckpt> [label_a label_b]
 """
 import json
 import sys
@@ -28,6 +28,8 @@ from pwstablenet_tpu.pipeline import Stabilizer
 from pwstablenet_tpu.train import checkpoint as ckpt
 
 ms_dir, l1_dir = sys.argv[1], sys.argv[2]
+LABEL_A = sys.argv[3] if len(sys.argv) > 3 else "ms"
+LABEL_B = sys.argv[4] if len(sys.argv) > 4 else "l1"
 model_cfg = ModelConfig(model_resolution=(64, 64), num_levels=6,
                         base_features=32, max_features=256)
 
@@ -38,7 +40,7 @@ SCALES = {
 SEEDS = (2024, 2025, 2026)
 
 arms = {}
-for name, d in (("ms", ms_dir), ("l1", l1_dir)):
+for name, d in ((LABEL_A, ms_dir), (LABEL_B, l1_dir)):
     params = ckpt.load_generator_params(d, step="best")
     arms[name] = Stabilizer(model_cfg, PipelineConfig(batch_windows=8),
                             params=params)
